@@ -1,0 +1,97 @@
+"""Separable bilinear sampling with constant border — the on-device workhorse
+behind both hot-path image ops:
+
+- the search/template sub-window crop (replaces host cv2 pad+resize,
+  `tools/test.py:67-110`): crop-at-integer-origin composed with cv2-style
+  half-pixel bilinear resize collapses into one axis-aligned sampling grid;
+- the mask warp-back to frame coordinates (replaces host cv2.warpAffine,
+  `tools/test.py:263-282`): the affine map there is axis-aligned too.
+
+Axis-aligned means ys depends only on the output row and xs only on the output
+column, so the 2-D bilinear gather factorizes into two 1-D passes. Out-of-bounds
+samples return the border value per channel, reproducing cv2 BORDER_CONSTANT and
+the reference's mean-pad crop buffer.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def separable_bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array,
+                              border: jax.Array) -> jax.Array:
+    """Sample ``img`` (H, W, C) at the grid ys x xs -> (len(ys), len(xs), C).
+
+    ys/xs are float sample coordinates (dynamic values, static length). ``border``
+    is (C,) and substitutes any neighbor that falls outside the image, matching
+    bilinear sampling of an infinitely border-padded image.
+    """
+    h, w, _ = img.shape
+    border = border.astype(img.dtype)
+
+    x0 = jnp.floor(xs)
+    fx = (xs - x0)[None, :, None]
+    x0i = x0.astype(jnp.int32)
+
+    def take_cols(xi):
+        valid = (xi >= 0) & (xi < w)
+        cols = jnp.take(img, jnp.clip(xi, 0, w - 1), axis=1)  # (H, N, C)
+        return jnp.where(valid[None, :, None], cols, border[None, None, :])
+
+    tmp = take_cols(x0i) * (1.0 - fx) + take_cols(x0i + 1) * fx  # (H, N, C)
+
+    y0 = jnp.floor(ys)
+    fy = (ys - y0)[:, None, None]
+    y0i = y0.astype(jnp.int32)
+
+    def take_rows(yi):
+        valid = (yi >= 0) & (yi < h)
+        rows = jnp.take(tmp, jnp.clip(yi, 0, h - 1), axis=0)  # (M, N, C)
+        return jnp.where(valid[:, None, None], rows, border[None, None, :])
+
+    return take_rows(y0i) * (1.0 - fy) + take_rows(y0i + 1) * fy
+
+
+def subwindow_crop(frame: jax.Array, pos_xy: jax.Array, crop_sz: jax.Array,
+                   model_sz: int, avg_chans: jax.Array) -> jax.Array:
+    """On-device equivalent of `get_subwindow_tracking` (tools/test.py:67-110).
+
+    frame: (H, W, C) float; pos_xy: (2,) center (x, y); crop_sz: scalar side length
+    (already rounded, may be traced); model_sz: static output side; avg_chans: (C,).
+
+    The reference crops an integer-aligned square of side crop_sz whose origin is
+    ``round(pos - (crop_sz + 1) / 2)`` (banker's rounding — jnp.round matches), then
+    cv2-bilinear-resizes to model_sz. Composing the two, output pixel u samples
+    frame coordinate ``origin + (u + 0.5) * crop_sz / model_sz - 0.5``; when
+    crop_sz == model_sz this degenerates to the exact integer crop, matching the
+    reference's resize-skip branch.
+    """
+    crop_sz = crop_sz.astype(jnp.float32)
+    c = (crop_sz + 1.0) / 2.0
+    ox = jnp.round(pos_xy[0] - c)
+    oy = jnp.round(pos_xy[1] - c)
+    u = (jnp.arange(model_sz, dtype=jnp.float32) + 0.5) * (crop_sz / model_sz) - 0.5
+    # cv2.resize never reads outside the crop window — it edge-replicates — so clamp
+    # the sample grid to the window before sampling the frame (out-of-frame samples
+    # still resolve to avg_chans, reproducing the mean-padded crop buffer).
+    u = jnp.clip(u, 0.0, crop_sz - 1.0)
+    return separable_bilinear_sample(frame, oy + u, ox + u, avg_chans)
+
+
+def warp_back_mask(mask: jax.Array, back_box: jax.Array, out_hw: tuple[int, int],
+                   border_value: float = -1.0) -> jax.Array:
+    """On-device equivalent of `crop_back` (tools/test.py:263-282).
+
+    mask: (S, S) score-cell mask (e.g. 127x127 sigmoid logits); back_box: (4,)
+    [bx, by, bw, bh] — the reference's affine places the mask so that image pixel
+    (x, y) samples mask coordinate ``(x * bw_inv + bx0, ...)`` where the transform
+    is dst = a*src + c with a=(out-1)/bw, c=-a*bx (note the historical out-1).
+    Returns (out_h, out_w) with constant border (default -1, below any seg_thr).
+    """
+    out_w, out_h = out_hw[1], out_hw[0]
+    bx, by, bw, bh = back_box[0], back_box[1], back_box[2], back_box[3]
+    xs = jnp.arange(out_w, dtype=jnp.float32) * (bw / (out_w - 1)) + bx
+    ys = jnp.arange(out_h, dtype=jnp.float32) * (bh / (out_h - 1)) + by
+    img = mask[:, :, None]
+    border = jnp.full((1,), border_value, dtype=img.dtype)
+    return separable_bilinear_sample(img, ys, xs, border)[:, :, 0]

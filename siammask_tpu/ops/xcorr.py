@@ -1,0 +1,60 @@
+"""Depthwise cross-correlation between template and search features.
+
+This is the signature SiamMask op (`models/rpn.py:32-38` `conv2d_dw_group`): the
+template feature map acts as a per-(batch, channel) filter bank slid over the search
+feature map. PyTorch realizes it as a grouped conv with groups=B*C; on TPU we offer
+two lowerings:
+
+- ``depthwise_xcorr_conv``: `lax.conv_general_dilated` with
+  ``feature_group_count=B*C`` — XLA's native depthwise conv path.
+- ``depthwise_xcorr_mm``: im2col + batched ``dot_general`` contracting the template
+  taps — reshapes the op into (B*C)-many (P x K) @ (K) matvecs that XLA tiles onto
+  the MXU/VPU; this is the default since giant group counts can lower poorly.
+
+Shapes (NHWC): search x (B, Hx, Wx, C), template kernel k (B, Hk, Wk, C)
+-> (B, Hx-Hk+1, Wx-Wk+1, C). For SiamMask: (B,29,29,256) x (B,5,5,256) -> (B,25,25,256).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def depthwise_xcorr_conv(x: jax.Array, k: jax.Array) -> jax.Array:
+    b, hx, wx, c = x.shape
+    _, hk, wk, _ = k.shape
+    # merge batch into channels: (1, Hx, Wx, B*C); kernel (Hk, Wk, 1, B*C)
+    xm = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, hx, wx, b * c)
+    km = jnp.transpose(k, (1, 2, 0, 3)).reshape(hk, wk, 1, b * c)
+    out = lax.conv_general_dilated(
+        xm, km, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=b * c,
+    )
+    ho, wo = out.shape[1], out.shape[2]
+    return jnp.transpose(out.reshape(ho, wo, b, c), (2, 0, 1, 3))
+
+
+def depthwise_xcorr_mm(x: jax.Array, k: jax.Array) -> jax.Array:
+    b, hx, wx, c = x.shape
+    _, hk, wk, _ = k.shape
+    ho, wo = hx - hk + 1, wx - wk + 1
+    # im2col: patches (B, Ho, Wo, C*Hk*Wk) with channel-major tap ordering
+    patches = lax.conv_general_dilated_patches(
+        jnp.transpose(x, (0, 3, 1, 2)),  # NCHW so taps order is (C, Hk, Wk)
+        filter_shape=(hk, wk), window_strides=(1, 1), padding="VALID",
+    )  # (B, C*Hk*Wk, Ho, Wo)
+    patches = patches.reshape(b, c, hk * wk, ho * wo)
+    kf = jnp.transpose(k.reshape(b, hk * wk, c), (0, 2, 1))  # (B, C, K)
+    # contract taps: (B, C, K) x (B, C, K, P) -> (B, C, P)
+    out = jnp.einsum("bck,bckp->bcp", kf, patches)
+    return jnp.transpose(out.reshape(b, c, ho, wo), (0, 2, 3, 1))
+
+
+def depthwise_xcorr(x: jax.Array, k: jax.Array, impl: str = "mm") -> jax.Array:
+    if impl == "mm":
+        return depthwise_xcorr_mm(x, k)
+    if impl == "conv":
+        return depthwise_xcorr_conv(x, k)
+    raise ValueError(f"unknown xcorr impl {impl!r}")

@@ -1,0 +1,132 @@
+"""Parity tests for core ops against torch functional oracles and cv2."""
+import cv2
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from siammask_tpu.ops.resize import upsample_bilinear_align_corners, upsample_nearest
+from siammask_tpu.ops.sample import subwindow_crop, warp_back_mask
+from siammask_tpu.ops.unfold import unfold, unfold_windows
+from siammask_tpu.ops.xcorr import depthwise_xcorr_conv, depthwise_xcorr_mm
+
+RNG = np.random.RandomState(42)
+
+
+def test_bilinear_align_corners_matches_torch():
+    x = RNG.randn(2, 63, 63, 3).astype(np.float32)
+    ours = np.asarray(upsample_bilinear_align_corners(jnp.asarray(x), (127, 127)))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    theirs = F.interpolate(xt, size=(127, 127), mode="bilinear", align_corners=True)
+    theirs = theirs.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_nearest_matches_torch():
+    for in_sz, out_sz in [(15, 31), (31, 61), (61, 127), (16, 8)]:
+        x = RNG.randn(1, in_sz, in_sz, 4).astype(np.float32)
+        ours = np.asarray(upsample_nearest(jnp.asarray(x), (out_sz, out_sz)))
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        theirs = F.interpolate(xt, size=(out_sz, out_sz), mode="nearest")
+        theirs = theirs.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_array_equal(ours, theirs)
+
+
+def test_unfold_matches_torch():
+    x = RNG.randn(2, 3, 32, 32).astype(np.float32)
+    for kernel, pad, stride in [((5, 5), 0, 1), ((7, 7), 3, 2), ((15, 15), 0, 4)]:
+        ours = np.asarray(unfold(jnp.asarray(x), kernel, padding=pad, stride=stride))
+        theirs = F.unfold(torch.from_numpy(x), kernel, padding=pad, stride=stride).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_unfold_windows_layout():
+    x = RNG.randn(1, 10, 10, 2).astype(np.float32)
+    win = np.asarray(unfold_windows(jnp.asarray(x), (3, 3), padding=0, stride=1))
+    assert win.shape == (1, 64, 3, 3, 2)
+    # window (row 2, col 5) must equal the direct slice
+    np.testing.assert_allclose(win[0, 2 * 8 + 5], x[0, 2:5, 5:8, :], atol=0)
+
+
+def test_depthwise_xcorr_matches_torch():
+    b, c = 2, 16
+    x = RNG.randn(b, 29, 29, c).astype(np.float32)
+    k = RNG.randn(b, 5, 5, c).astype(np.float32)
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    kt = torch.from_numpy(k).permute(0, 3, 1, 2)
+    # oracle: grouped conv with groups=b*c (torch semantics of conv2d_dw_group)
+    xm = xt.reshape(1, b * c, 29, 29)
+    km = kt.reshape(b * c, 1, 5, 5)
+    ref = F.conv2d(xm, km, groups=b * c).reshape(b, c, 25, 25)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+
+    for fn in (depthwise_xcorr_conv, depthwise_xcorr_mm):
+        ours = np.asarray(fn(jnp.asarray(x), jnp.asarray(k)))
+        np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-4)
+
+
+def _ref_subwindow(im, pos, model_sz, original_sz, avg_chans):
+    """Host oracle reproducing get_subwindow_tracking semantics on float images."""
+    sz = original_sz
+    c = (original_sz + 1) / 2
+    context_xmin = round(pos[0] - c)
+    context_xmax = context_xmin + sz - 1
+    context_ymin = round(pos[1] - c)
+    context_ymax = context_ymin + sz - 1
+    r, cc, k = im.shape
+    left = int(max(0., -context_xmin))
+    top = int(max(0., -context_ymin))
+    right = int(max(0., context_xmax - cc + 1))
+    bottom = int(max(0., context_ymax - r + 1))
+    context_xmin += left
+    context_xmax += left
+    context_ymin += top
+    context_ymax += top
+    te = np.zeros((r + top + bottom, cc + left + right, k), np.float32)
+    te[top:top + r, left:left + cc] = im
+    if top: te[:top] = avg_chans
+    if bottom: te[r + top:] = avg_chans
+    if left: te[:, :left] = avg_chans
+    if right: te[:, cc + left:] = avg_chans
+    patch = te[int(context_ymin):int(context_ymax + 1), int(context_xmin):int(context_xmax + 1)]
+    if model_sz != original_sz:
+        patch = cv2.resize(patch, (model_sz, model_sz))
+    return patch
+
+
+@pytest.mark.parametrize("pos,crop_sz,model_sz", [
+    ((100.0, 120.0), 80, 127),      # fully inside
+    ((10.0, 10.0), 90, 127),        # pads top-left
+    ((310.0, 230.0), 200, 255),     # pads bottom-right
+    ((160.0, 120.0), 127, 127),     # no-resize branch
+    ((55.5, 77.25), 93, 127),       # fractional center
+])
+def test_subwindow_crop_matches_reference(pos, crop_sz, model_sz):
+    im = RNG.uniform(0, 255, size=(240, 320, 3)).astype(np.float32)
+    avg = im.mean(axis=(0, 1))
+    ref = _ref_subwindow(im, pos, model_sz, crop_sz, avg)
+    ours = np.asarray(subwindow_crop(jnp.asarray(im), jnp.asarray(pos, dtype=jnp.float32),
+                                     jnp.asarray(float(crop_sz)), model_sz,
+                                     jnp.asarray(avg)))
+    np.testing.assert_allclose(ours, ref, atol=1e-2)  # cv2 float32 accumulation noise
+
+
+def test_warp_back_matches_cv2():
+    mask = RNG.uniform(-1, 1, size=(127, 127)).astype(np.float32)
+    im_w, im_h = 320, 240
+    back_box = [-50.3, -20.7, im_w * 0.9, im_h * 0.9]
+
+    a = (im_w - 1) / back_box[2]
+    b = (im_h - 1) / back_box[3]
+    mapping = np.array([[a, 0, -a * back_box[0]], [0, b, -b * back_box[1]]], dtype=np.float64)
+    ref = cv2.warpAffine(mask, mapping, (im_w, im_h), flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_CONSTANT, borderValue=-1.0)
+
+    ours = np.asarray(warp_back_mask(jnp.asarray(mask), jnp.asarray(back_box, dtype=jnp.float32),
+                                     (im_h, im_w)))
+    # cv2 uses fixed-point bilinear (5-bit fractional) — tolerance accounts for it
+    np.testing.assert_allclose(ours, ref, atol=1e-1)
+    assert np.mean(np.abs(ours - ref)) < 2e-2
