@@ -1,0 +1,227 @@
+"""SiamMask heads: neck (ResDownS), DepthCorr RPN heads (UP), MaskCorr, Refine.
+
+Flax/NHWC re-expressions of the reference experiment layer
+(`experiments/siammask_sharp/custom.py`):
+
+- ``ResDownS``: 1x1 conv 1024->256 + BN, center-cropping a 4px border when the map
+  is smaller than 20px (template 15x15 -> 7x7; custom.py:12-25).
+- ``DepthCorr``: 3x3 adjust conv+BN+ReLU on each side, depthwise cross-correlation
+  (ops/xcorr.py), then 1x1 conv head (models/rpn.py:41-72).
+- ``UP``: cls (2k ch) + loc (4k ch) DepthCorrs (custom.py:69-86).
+- ``MaskCorr``: DepthCorr 256->256->o_sz^2 (custom.py:89-96).
+- ``Refine``: U-shaped decoder fusing backbone skips p0/p1/p2 with the per-cell
+  corr vector (custom.py:99-154). The reference's ConvTranspose2d(256,32,15,15)
+  always sees 1x1 spatial input, so we lower it to a dense expand (a pure matmul on
+  the MXU). Nearest upsampling matches torch F.upsample's default mode.
+
+All modules are pure; BatchNorm uses running averages unless ``train=True``.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from siammask_tpu.ops.resize import upsample_nearest
+from siammask_tpu.ops.unfold import unfold_windows
+from siammask_tpu.ops.xcorr import depthwise_xcorr
+
+BN_KW = dict(epsilon=1e-5, momentum=0.9)
+
+
+class ResDownS(nn.Module):
+    out_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn", **BN_KW)(x)
+        if x.shape[2] < 20:
+            x = x[:, 4:-4, 4:-4, :]
+        return x
+
+
+class ConvBNRelu(nn.Module):
+    features: int
+    kernel: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel), padding="VALID",
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn", **BN_KW)(x)
+        return nn.relu(x)
+
+
+class DepthCorr(nn.Module):
+    """Template/search adjust convs + depthwise xcorr + 1x1 head."""
+    hidden: int
+    out_channels: int
+    kernel_size: int = 3
+    xcorr_impl: str = "mm"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.conv_kernel = ConvBNRelu(self.hidden, self.kernel_size, self.dtype,
+                                      name="conv_kernel")
+        self.conv_search = ConvBNRelu(self.hidden, self.kernel_size, self.dtype,
+                                      name="conv_search")
+        self.head_conv1 = ConvBNRelu(self.hidden, 1, self.dtype, name="head_conv1")
+        self.head_conv2 = nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                                  dtype=self.dtype, name="head_conv2")
+
+    def forward_corr(self, kernel, search, train: bool = False):
+        k = self.conv_kernel(kernel, train)
+        s = self.conv_search(search, train)
+        return depthwise_xcorr(s, k, impl=self.xcorr_impl)
+
+    def head(self, feature, train: bool = False):
+        return self.head_conv2(self.head_conv1(feature, train))
+
+    def __call__(self, kernel, search, train: bool = False):
+        return self.head(self.forward_corr(kernel, search, train), train)
+
+
+class UP(nn.Module):
+    """RPN heads: cls -> 2k channels, loc -> 4k channels."""
+    anchor_num: int = 5
+    feature_out: int = 256
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.cls = DepthCorr(self.feature_out, 2 * self.anchor_num,
+                             dtype=self.dtype, name="cls")
+        self.loc = DepthCorr(self.feature_out, 4 * self.anchor_num,
+                             dtype=self.dtype, name="loc")
+
+    def __call__(self, z_f, x_f, train: bool = False):
+        return self.cls(z_f, x_f, train), self.loc(z_f, x_f, train)
+
+
+class MaskCorr(nn.Module):
+    """Mask head: each score-map cell predicts a flattened o_sz x o_sz mask."""
+    o_sz: int = 63
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.mask = DepthCorr(256, self.o_sz ** 2, dtype=self.dtype, name="mask")
+
+    def __call__(self, z_f, x_f, train: bool = False):
+        return self.mask(z_f, x_f, train)
+
+
+class DeconvExpand(nn.Module):
+    """ConvTranspose2d(in, out, k, stride=k) specialized to 1x1 spatial input:
+    out[h, w, o] = sum_i x[i] * K[i, o, h, w] + b[o] — a dense expand.
+
+    The kernel keeps torch's (in, out, kh, kw) layout so checkpoint conversion is a
+    direct copy."""
+    in_features: int = 256
+    out_features: int = 32
+    size: int = 15
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, in_features) -> (B, size, size, out_features)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform",
+                                             in_axis=0, out_axis=(1, 2, 3)),
+            (self.in_features, self.out_features, self.size, self.size), self.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_features,),
+                          self.dtype)
+        out = jnp.einsum("bi,iohw->bhwo", x, kernel)
+        return out + bias
+
+
+class ConvReluBlock(nn.Module):
+    """Two 3x3 pad-1 conv+ReLU layers (Refine's v/h blocks)."""
+    mid: int
+    out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.mid, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                    name="conv0")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                    name="conv1")(x)
+        return nn.relu(x)
+
+
+class Refine(nn.Module):
+    """U-shaped mask refinement decoder.
+
+    Consumes per-cell windows of the backbone skips — p0 61x61x64, p1 31x31x256,
+    p2 15x15x512 — plus the cell's 256-d corr vector, and emits 127x127 mask logits.
+
+    ``__call__`` operates on batched per-cell windows (B, ...) so both the
+    inference path (one window sliced at the argmax cell) and the training path
+    (all L cells unfolded) share one formulation.
+    """
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        d = self.dtype
+        self.v0 = ConvReluBlock(16, 4, d, name="v0")
+        self.v1 = ConvReluBlock(64, 16, d, name="v1")
+        self.v2 = ConvReluBlock(128, 32, d, name="v2")
+        self.h2 = ConvReluBlock(32, 32, d, name="h2")
+        self.h1 = ConvReluBlock(16, 16, d, name="h1")
+        self.h0 = ConvReluBlock(4, 4, d, name="h0")
+        self.deconv = DeconvExpand(256, 32, 15, d, name="deconv")
+        self.post0 = nn.Conv(16, (3, 3), padding=[(1, 1), (1, 1)], dtype=d, name="post0")
+        self.post1 = nn.Conv(4, (3, 3), padding=[(1, 1), (1, 1)], dtype=d, name="post1")
+        self.post2 = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], dtype=d, name="post2")
+
+    def __call__(self, p0, p1, p2, corr):
+        """p0 (B,61,61,64), p1 (B,31,31,256), p2 (B,15,15,512), corr (B,256)
+        -> (B, 127*127) mask logits."""
+        out = self.deconv(corr)                                   # (B,15,15,32)
+        out = self.post0(upsample_nearest(self.h2(out) + self.v2(p2), (31, 31)))
+        out = self.post1(upsample_nearest(self.h1(out) + self.v1(p1), (61, 61)))
+        out = self.post2(upsample_nearest(self.h0(out) + self.v0(p0), (127, 127)))
+        return out.reshape(out.shape[0], 127 * 127)
+
+
+def slice_skip_windows(p0, p1, p2, pos_yx):
+    """Inference-path window extraction at one score-map cell (custom.py:131-135).
+
+    p0/p1/p2 are full search skip maps (1, H, W, C); pos_yx is a traced (row, col)
+    int pair. The reference pads by (16, 8, 4) and slices windows of (61, 31, 15)
+    at strides (4, 2, 1) relative to the cell index.
+    """
+    y, x = pos_yx[0], pos_yx[1]
+
+    def pad_slice(f, pad, scale, win):
+        f = jnp.pad(f, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        return jax.lax.dynamic_slice(
+            f, (0, scale * y, scale * x, 0),
+            (f.shape[0], win, win, f.shape[3]))
+
+    return (pad_slice(p0, 16, 4, 61),
+            pad_slice(p1, 8, 2, 31),
+            pad_slice(p2, 4, 1, 15))
+
+
+def unfold_skip_windows(p0, p1, p2):
+    """Training-path window extraction for all cells (custom.py:137-142).
+
+    Returns windows flattened over (batch, cell): (B*L, win, win, C) each, with L
+    enumerated row-major — matching F.unfold's window order and the reference's
+    ``view(-1, C, w, w)`` batch layout.
+    """
+    w0 = unfold_windows(p0, (61, 61), padding=0, stride=4)
+    w1 = unfold_windows(p1, (31, 31), padding=0, stride=2)
+    w2 = unfold_windows(p2, (15, 15), padding=0, stride=1)
+    merge = lambda w: w.reshape((-1,) + w.shape[2:])
+    return merge(w0), merge(w1), merge(w2)

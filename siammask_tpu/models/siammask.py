@@ -1,0 +1,190 @@
+"""Model assemblies: SiamRPN (box-only), SiamMaskBase (63x63 masks), SiamMaskSharp
+(refined 127x127 masks — the flagship).
+
+Functional re-design of the reference model core (`models/siammask_sharp.py`,
+`models/siamrpn.py`, `experiments/*/custom.py`): instead of stateful modules caching
+``self.zf``/``self.feature``, every entry point is a pure flax method — template
+features and cached search products are explicit values threaded by the tracker.
+
+Entry points (invoke via ``model.apply(vars, ..., method=...)``):
+
+- ``template(z)``             -> zf (B, 7, 7, 256)
+- ``track(zf, x)``            -> (score, loc)                       [SiamRPN path]
+- ``track_mask(zf, x)``       -> TrackOutputs(score, loc, mask, skips, corr)
+- ``track_refine(skips, corr, pos_yx)`` -> (B, 127*127) logits      [sharp only]
+- ``forward_train(template, search)``   -> training predictions
+
+Layout is NHWC; cls channels are ordered (2, k) and loc channels (4, k) exactly as
+the reference (`models/siammask.py:70-75` softmax view), so decode and losses index
+the same way.
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from siammask_tpu.models.heads import (MaskCorr, Refine, ResDownS, UP,
+                                       slice_skip_windows, unfold_skip_windows)
+from siammask_tpu.models.resnet import ResNet50Tracking
+
+
+class TrackOutputs(NamedTuple):
+    score: jax.Array        # (B, S, S, 2k)
+    loc: jax.Array          # (B, S, S, 4k)
+    mask: jax.Array | None  # (B, S, S, o_sz^2) raw mask-head logits (base path)
+    skips: tuple | None     # (p0, p1, p2) full search skip maps (sharp)
+    corr: jax.Array | None  # (B, S, S, 256) mask-branch corr feature (sharp)
+
+
+class SiamRPN(nn.Module):
+    """Box-only tracker: backbone + neck + RPN heads (models/siamrpn.py)."""
+    anchor_num: int = 5
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet50Tracking(dtype=self.dtype, name="backbone")
+        self.neck = ResDownS(256, dtype=self.dtype, name="neck")
+        self.rpn = UP(self.anchor_num, dtype=self.dtype, name="rpn")
+
+    def _features(self, x, train=False):
+        p0, p1, p2, p3 = self.backbone(x, train)
+        return (p0, p1, p2), self.neck(p3, train)
+
+    def template(self, z, train: bool = False):
+        return self._features(z, train)[1]
+
+    def track(self, zf, x, train: bool = False):
+        _, xf = self._features(x, train)
+        return self.rpn(zf, xf, train)
+
+    def forward_train(self, template, search):
+        zf = self.template(template, train=True)
+        score, loc = self.track(zf, search, train=True)
+        return score, loc
+
+    def __call__(self, template, search):
+        # convenience path used for initialization / compile checks
+        zf = self.template(template)
+        return self.track(zf, search)
+
+
+class SiamMaskBase(nn.Module):
+    """Mask tracker without refinement: mask head emits 63x63 per cell."""
+    anchor_num: int = 5
+    o_sz: int = 63
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet50Tracking(dtype=self.dtype, name="backbone")
+        self.neck = ResDownS(256, dtype=self.dtype, name="neck")
+        self.rpn = UP(self.anchor_num, dtype=self.dtype, name="rpn")
+        self.mask_corr = MaskCorr(self.o_sz, dtype=self.dtype, name="mask_corr")
+
+    def _features(self, x, train=False):
+        p0, p1, p2, p3 = self.backbone(x, train)
+        return (p0, p1, p2), self.neck(p3, train)
+
+    def template(self, z, train: bool = False):
+        return self._features(z, train)[1]
+
+    def track(self, zf, x, train: bool = False):
+        _, xf = self._features(x, train)
+        return self.rpn(zf, xf, train)
+
+    def track_mask(self, zf, x, train: bool = False) -> TrackOutputs:
+        _, xf = self._features(x, train)
+        score, loc = self.rpn(zf, xf, train)
+        mask = self.mask_corr(zf, xf, train)
+        return TrackOutputs(score, loc, mask, None, None)
+
+    def forward_train(self, template, search):
+        zf = self.template(template, train=True)
+        return self.track_mask(zf, search, train=True)
+
+    def __call__(self, template, search):
+        zf = self.template(template)
+        return self.track_mask(zf, search)
+
+
+class SiamMaskSharp(nn.Module):
+    """Flagship: mask branch + U-shaped Refine to 127x127
+    (models/siammask_sharp.py + experiments/siammask_sharp/custom.py)."""
+    anchor_num: int = 5
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet50Tracking(dtype=self.dtype, name="backbone")
+        self.neck = ResDownS(256, dtype=self.dtype, name="neck")
+        self.rpn = UP(self.anchor_num, dtype=self.dtype, name="rpn")
+        self.mask_corr = MaskCorr(63, dtype=self.dtype, name="mask_corr")
+        self.refine = Refine(dtype=self.dtype, name="refine")
+
+    def _features(self, x, train=False):
+        p0, p1, p2, p3 = self.backbone(x, train)
+        return (p0, p1, p2), self.neck(p3, train)
+
+    def template(self, z, train: bool = False):
+        return self._features(z, train)[1]
+
+    def track(self, zf, x, train: bool = False):
+        _, xf = self._features(x, train)
+        return self.rpn(zf, xf, train)
+
+    def track_mask(self, zf, x, train: bool = False) -> TrackOutputs:
+        """One search-frame pass: RPN heads + mask corr feature + raw mask head.
+
+        Mirrors `custom.py:181-186`, returning the skip maps and corr feature the
+        refine step consumes (explicitly, instead of the reference's self.* cache).
+        """
+        skips, xf = self._features(x, train)
+        score, loc = self.rpn(zf, xf, train)
+        corr = self.mask_corr.mask.forward_corr(zf, xf, train)
+        mask = self.mask_corr.mask.head(corr, train)
+        return TrackOutputs(score, loc, mask, skips, corr)
+
+    def track_refine(self, skips, corr, pos_yx):
+        """Refined 127x127 mask logits at one score-map cell (custom.py:188-190).
+
+        pos_yx is a traced (row, col) pair — dynamic-sliced, so one compiled
+        program serves every cell."""
+        w0, w1, w2 = slice_skip_windows(*skips, pos_yx)
+        cvec = jax.lax.dynamic_slice(
+            corr, (0, pos_yx[0], pos_yx[1], 0),
+            (corr.shape[0], 1, 1, corr.shape[3])).reshape(corr.shape[0], -1)
+        return self.refine(w0, w1, w2, cvec)
+
+    def refine_all(self, skips, corr):
+        """Training path: refine every score-map cell (custom.py:137-147 pos=None).
+
+        Returns (B*L, 127*127) with cells row-major within each sample."""
+        w0, w1, w2 = unfold_skip_windows(*skips)
+        b, h, w, c = corr.shape
+        cvec = corr.reshape(b * h * w, c)
+        return self.refine(w0, w1, w2, cvec)
+
+    def forward_train(self, template, search):
+        """Full training graph (models/siammask_sharp.py:57-69): RPN preds + refined
+        masks for all cells."""
+        zf = self.template(template, train=True)
+        out = self.track_mask(zf, search, train=True)
+        pred_mask = self.refine_all(out.skips, out.corr)
+        return out.score, out.loc, pred_mask
+
+    def __call__(self, template, search):
+        zf = self.template(template)
+        out = self.track_mask(zf, search)
+        mask = self.track_refine(out.skips, out.corr,
+                                 jnp.array([12, 12], dtype=jnp.int32))
+        return out.score, out.loc, mask
+
+
+def log_softmax_cls(score: jax.Array, anchor_num: int) -> jax.Array:
+    """Training-time cls activation (models/siammask.py:70-75): NHWC (B,S,S,2k)
+    -> (B, k, S, S, 2) log-softmax over the 2-way axis."""
+    b, h, w, _ = score.shape
+    s = score.reshape(b, h, w, 2, anchor_num)        # channel dim is (2, k)
+    s = jnp.transpose(s, (0, 4, 1, 2, 3))            # (B, k, S, S, 2)
+    return jax.nn.log_softmax(s, axis=-1)
