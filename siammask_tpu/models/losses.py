@@ -1,0 +1,121 @@
+"""Training losses: anchor-sampled cross-entropy, weighted L1, per-cell mask
+logistic loss with IoU metrics.
+
+Reference semantics (`models/siammask.py:124-183` base / `siammask_sharp.py:125-187`
+sharp):
+
+- cls: NLL over the 2-way log-softmax, averaged separately over positive and
+  negative anchors (labels -1 are ignored), combined 0.5/0.5.
+- loc: per-anchor L1 summed over the 4 coords, weighted by ``loc_weight``
+  (1/num_pos on positive anchors), summed, divided by batch.
+- mask: soft-margin (logistic) loss between per-cell predicted masks and unfolded
+  ground-truth windows (g_sz x g_sz, stride 8; padding 32 for the base 255-search /
+  padding 0 for sharp), over cells with a positive anchor only. The base path
+  bilinearly upsamples each selected 63x63 prediction to 127x127 (align_corners).
+
+JAX re-design: the reference gathers dynamic positive index sets; we keep shapes
+static either by masked reductions (cls/loc — free) or by a fixed-size top-k gather
+of positive cells (mask — bounded at 16 positives/sample by the target sampler).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from siammask_tpu.ops.resize import upsample_bilinear_align_corners
+from siammask_tpu.ops.unfold import unfold_windows
+
+
+def select_cross_entropy_loss(pred_cls: jax.Array, label_cls: jax.Array) -> jax.Array:
+    """pred_cls: NHWC (B, S, S, 2k) raw logits with channels blocked (2, k);
+    label_cls: (B, k, S, S) in {-1 ignore, 0 neg, 1 pos}."""
+    b, s1, s2, ck = pred_cls.shape
+    k = ck // 2
+    logits = pred_cls.reshape(b, s1, s2, 2, k)
+    logits = jnp.transpose(logits, (0, 4, 1, 2, 3))        # (B, k, S, S, 2)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+
+    pos = (label_cls == 1).astype(jnp.float32)
+    neg = (label_cls == 0).astype(jnp.float32)
+    npos = jnp.sum(pos)
+    nneg = jnp.sum(neg)
+    loss_pos = -jnp.sum(logp[..., 1] * pos) / jnp.maximum(npos, 1.0)
+    loss_neg = -jnp.sum(logp[..., 0] * neg) / jnp.maximum(nneg, 1.0)
+    return 0.5 * loss_pos + 0.5 * loss_neg
+
+
+def weight_l1_loss(pred_loc: jax.Array, label_loc: jax.Array,
+                   loss_weight: jax.Array) -> jax.Array:
+    """pred_loc: NHWC (B, S, S, 4k) with channels blocked (4, k);
+    label_loc: (B, 4, k, S, S); loss_weight: (B, k, S, S)."""
+    b, s1, s2, ck = pred_loc.shape
+    k = ck // 4
+    pred = jnp.transpose(pred_loc.reshape(b, s1, s2, 4, k), (0, 3, 4, 1, 2))
+    diff = jnp.sum(jnp.abs(pred - label_loc), axis=1)      # (B, k, S, S)
+    return jnp.sum(diff * loss_weight) / b
+
+
+class MaskLossOut(NamedTuple):
+    loss: jax.Array
+    iou_mean: jax.Array
+    iou_at_5: jax.Array
+    iou_at_7: jax.Array
+
+
+def _soft_margin(x, y):
+    # log(1 + exp(-y*x)), numerically stable
+    return jax.nn.softplus(-y * x)
+
+
+def _iou_rows(pred_bin: jax.Array, label: jax.Array):
+    """Per-row mask IoU (models/siammask.py:177-183): pred>=0 vs label==1."""
+    p = pred_bin >= 0
+    l = label == 1
+    inter = jnp.sum(p & l, axis=-1).astype(jnp.float32)
+    union = jnp.sum(p | l, axis=-1).astype(jnp.float32)
+    return inter / jnp.maximum(union, 1.0)
+
+
+def select_mask_logistic_loss(p_m: jax.Array, mask: jax.Array, weight: jax.Array,
+                              o_sz: int = 63, g_sz: int = 127, padding: int = 32,
+                              max_pos: int = 64) -> MaskLossOut:
+    """p_m: either (B, S, S, o_sz^2) raw mask-head output (base path — upsampled
+    per cell to g_sz), or (B*L, g_sz*g_sz) refined logits (sharp path).
+    mask: (B, H, W) ground truth in {-1, +1}; weight: (B, S', S') positive-cell
+    indicator (S' matches the unfold grid).
+
+    ``max_pos`` bounds the static gather of positive cells (the anchor target layer
+    caps positives at 16/sample; 64 is safe for batch-level selection headroom).
+    """
+    w_flat = weight.reshape(-1)
+    n_rows = w_flat.shape[0]
+    k_sel = min(max_pos, n_rows)
+    sel_w, sel_idx = jax.lax.top_k(w_flat, k_sel)
+    valid = sel_w == 1
+    nval = jnp.sum(valid.astype(jnp.float32))
+
+    # ground-truth windows for the selected cells
+    gt_windows = unfold_windows(mask[..., None], (g_sz, g_sz), padding=padding,
+                                stride=8)                    # (B, L, g, g, 1)
+    gt_rows = gt_windows.reshape(-1, g_sz * g_sz)
+    gt_sel = jnp.take(gt_rows, sel_idx, axis=0)              # (K, g*g)
+
+    if p_m.ndim == 4:
+        b, s1, s2, _ = p_m.shape
+        rows = p_m.reshape(b * s1 * s2, o_sz, o_sz)
+        pred_sel = jnp.take(rows, sel_idx, axis=0)[..., None]  # (K, o, o, 1)
+        pred_sel = upsample_bilinear_align_corners(pred_sel, (g_sz, g_sz))
+        pred_sel = pred_sel.reshape(-1, g_sz * g_sz)
+    else:
+        pred_sel = jnp.take(p_m, sel_idx, axis=0)
+
+    per_row = jnp.mean(_soft_margin(pred_sel, gt_sel), axis=-1)
+    loss = jnp.sum(per_row * valid) / jnp.maximum(nval, 1.0)
+
+    iou = _iou_rows(pred_sel, gt_sel)
+    iou_mean = jnp.sum(iou * valid) / jnp.maximum(nval, 1.0)
+    iou5 = jnp.sum((iou > 0.5) * valid) / jnp.maximum(nval, 1.0)
+    iou7 = jnp.sum((iou > 0.7) * valid) / jnp.maximum(nval, 1.0)
+    return MaskLossOut(loss, iou_mean, iou5, iou7)

@@ -121,20 +121,28 @@ class ResNetStage(nn.Module):
 
 class ResNet50Tracking(nn.Module):
     """ResNet-50 layers 1-3 tracking backbone. Input NHWC float32 (0..255 BGR,
-    matching the reference's raw-pixel convention — no normalization)."""
+    matching the reference's raw-pixel convention — no normalization).
+
+    Progressive unfreezing (`models/features.py:36-79`, `custom.py:37-41`): the
+    stem and layer1 are NEVER trained (their BN always runs in eval); layer2 and
+    layer3 switch to train-mode BN only once unfrozen at 50% training progress.
+    ``train_layer2``/``train_layer3`` carry those per-stage flags."""
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, train_layer2: bool = False,
+                 train_layer3: bool = False):
+        del train  # the stem/layer1 are permanently frozen (BN eval)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding="VALID", use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+        x = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
                          name="bn1", **BN_KW)(x)
         p0 = nn.relu(x)
 
         x = nn.max_pool(p0, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        p1 = ResNetStage(64, 3, dtype=self.dtype, name="layer1")(x, train)
-        p2 = ResNetStage(128, 4, stride=2, dtype=self.dtype, name="layer2")(p1, train)
+        p1 = ResNetStage(64, 3, dtype=self.dtype, name="layer1")(x, False)
+        p2 = ResNetStage(128, 4, stride=2, dtype=self.dtype,
+                         name="layer2")(p1, train_layer2)
         p3 = ResNetStage(256, 6, stride=1, dilation=2, dtype=self.dtype,
-                         name="layer3")(p2, train)
+                         name="layer3")(p2, train_layer3)
         return p0, p1, p2, p3

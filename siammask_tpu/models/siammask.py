@@ -49,8 +49,9 @@ class SiamRPN(nn.Module):
         self.neck = ResDownS(256, dtype=self.dtype, name="neck")
         self.rpn = UP(self.anchor_num, dtype=self.dtype, name="rpn")
 
-    def _features(self, x, train=False):
-        p0, p1, p2, p3 = self.backbone(x, train)
+    def _features(self, x, train=False, train_layers=(False, False)):
+        p0, p1, p2, p3 = self.backbone(x, train_layer2=train_layers[0],
+                                       train_layer3=train_layers[1])
         return (p0, p1, p2), self.neck(p3, train)
 
     def template(self, z, train: bool = False):
@@ -60,10 +61,10 @@ class SiamRPN(nn.Module):
         _, xf = self._features(x, train)
         return self.rpn(zf, xf, train)
 
-    def forward_train(self, template, search):
-        zf = self.template(template, train=True)
-        score, loc = self.track(zf, search, train=True)
-        return score, loc
+    def forward_train(self, template, search, train_layers=(False, False)):
+        _, zf = self._features(template, train=True, train_layers=train_layers)
+        _, xf = self._features(search, train=True, train_layers=train_layers)
+        return self.rpn(zf, xf, train=True)
 
     def __call__(self, template, search):
         # convenience path used for initialization / compile checks
@@ -83,8 +84,9 @@ class SiamMaskBase(nn.Module):
         self.rpn = UP(self.anchor_num, dtype=self.dtype, name="rpn")
         self.mask_corr = MaskCorr(self.o_sz, dtype=self.dtype, name="mask_corr")
 
-    def _features(self, x, train=False):
-        p0, p1, p2, p3 = self.backbone(x, train)
+    def _features(self, x, train=False, train_layers=(False, False)):
+        p0, p1, p2, p3 = self.backbone(x, train_layer2=train_layers[0],
+                                       train_layer3=train_layers[1])
         return (p0, p1, p2), self.neck(p3, train)
 
     def template(self, z, train: bool = False):
@@ -100,9 +102,12 @@ class SiamMaskBase(nn.Module):
         mask = self.mask_corr(zf, xf, train)
         return TrackOutputs(score, loc, mask, None, None)
 
-    def forward_train(self, template, search):
-        zf = self.template(template, train=True)
-        return self.track_mask(zf, search, train=True)
+    def forward_train(self, template, search, train_layers=(False, False)):
+        _, zf = self._features(template, train=True, train_layers=train_layers)
+        _, xf = self._features(search, train=True, train_layers=train_layers)
+        score, loc = self.rpn(zf, xf, train=True)
+        mask = self.mask_corr(zf, xf, train=True)
+        return TrackOutputs(score, loc, mask, None, None)
 
     def __call__(self, template, search):
         zf = self.template(template)
@@ -122,8 +127,9 @@ class SiamMaskSharp(nn.Module):
         self.mask_corr = MaskCorr(63, dtype=self.dtype, name="mask_corr")
         self.refine = Refine(dtype=self.dtype, name="refine")
 
-    def _features(self, x, train=False):
-        p0, p1, p2, p3 = self.backbone(x, train)
+    def _features(self, x, train=False, train_layers=(False, False)):
+        p0, p1, p2, p3 = self.backbone(x, train_layer2=train_layers[0],
+                                       train_layer3=train_layers[1])
         return (p0, p1, p2), self.neck(p3, train)
 
     def template(self, z, train: bool = False):
@@ -165,13 +171,22 @@ class SiamMaskSharp(nn.Module):
         cvec = corr.reshape(b * h * w, c)
         return self.refine(w0, w1, w2, cvec)
 
-    def forward_train(self, template, search):
+    def forward_train(self, template, search, train_layers=(False, False),
+                      train_backbone_neck=True, train_rpn=True):
         """Full training graph (models/siammask_sharp.py:57-69): RPN preds + refined
-        masks for all cells."""
-        zf = self.template(template, train=True)
-        out = self.track_mask(zf, search, train=True)
-        pred_mask = self.refine_all(out.skips, out.corr)
-        return out.score, out.loc, pred_mask
+        masks for all cells.
+
+        Stage-2 refine training (`tools/train_siammask_refine.py:98-104,168-183`)
+        freezes backbone+rpn in eval: pass train_layers=(False, False),
+        train_backbone_neck=False, train_rpn=False."""
+        _, zf = self._features(template, train=train_backbone_neck,
+                               train_layers=train_layers)
+        skips, xf = self._features(search, train=train_backbone_neck,
+                                   train_layers=train_layers)
+        score, loc = self.rpn(zf, xf, train=train_rpn)
+        corr = self.mask_corr.mask.forward_corr(zf, xf, train=True)
+        pred_mask = self.refine_all(skips, corr)
+        return score, loc, pred_mask
 
     def __call__(self, template, search):
         zf = self.template(template)

@@ -1,0 +1,227 @@
+"""Functional tracker: the TPU-native re-design of `siamese_init`/`siamese_track`
+(tools/test.py:132-315).
+
+The reference's per-frame loop round-trips device->host for anchor decode, penalty,
+argmax, and mask warp-back (all numpy/cv2). Here the ENTIRE step — sub-window crop,
+backbone+heads, anchor decode, scale/ratio penalty, cosine-window argmax, state
+update, refine at the best cell, sigmoid, warp-back to frame coordinates,
+thresholding — is one jitted device program. The only host work per frame is image
+decode and (for VOT) contour extraction from the returned binary mask.
+
+State is an explicit pytree (`TrackState`) so a whole video is
+``lax.scan(step, state, frames)`` and multi-object VOS is ``vmap`` over states.
+
+Numerics reproduce the reference exactly: context-scaled crop sizes with banker's
+rounding, the anchor decode/penalty formulas (test.py:209-237), EMA size update
+(test.py:239-249), the sub-box/back-box warp geometry (test.py:276-282), and state
+clamping (test.py:305-308).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from siammask_tpu.config import TrackerConfig
+from siammask_tpu.ops.sample import subwindow_crop, warp_back_mask
+from siammask_tpu.tracker.anchors import generate_score_map_anchors
+
+
+class TrackState(NamedTuple):
+    target_pos: jax.Array   # (2,) center x, y in frame coords
+    target_sz: jax.Array    # (2,) w, h in frame coords
+    zf: jax.Array           # (1, 7, 7, 256) template features
+    avg_chans: jax.Array    # (3,) frame channel means (pad fill)
+    score: jax.Array        # () best score of the last step
+
+
+class StepOutput(NamedTuple):
+    target_pos: jax.Array   # (2,) updated center (clamped)
+    target_sz: jax.Array    # (2,) updated size (clamped)
+    score: jax.Array        # () best penalized raw score
+    best_id: jax.Array      # () flat argmax over (k, S, S)
+    mask_in_frame: jax.Array | None   # (im_h, im_w) soft mask in frame coords
+    mask_logits: jax.Array | None     # (out_sz, out_sz) raw sigmoid mask in cell coords
+
+
+def make_window(p: TrackerConfig) -> np.ndarray:
+    s = p.score_size
+    if p.windowing == "cosine":
+        w = np.outer(np.hanning(s), np.hanning(s))
+    else:
+        w = np.ones((s, s))
+    return np.tile(w.flatten(), p.anchor_num).astype(np.float32)
+
+
+def _context_size(target_sz, context_amount):
+    wc = target_sz[0] + context_amount * jnp.sum(target_sz)
+    hc = target_sz[1] + context_amount * jnp.sum(target_sz)
+    return jnp.sqrt(wc * hc)
+
+
+def _flatten_anchor_major(x, k):
+    """(1, S, S, C*k) -> (C, k*S*S) with channels blocked as C groups of k."""
+    _, s1, s2, ck = x.shape
+    c = ck // k
+    x = x.reshape(s1, s2, c, k)
+    return jnp.transpose(x, (2, 3, 0, 1)).reshape(c, k * s1 * s2)
+
+
+class Tracker:
+    """Compiled tracker for one model + config + frame geometry.
+
+    ``mask``/``refine`` select the SiamRPN / SiamMask-base / SiamMask-sharp paths
+    (mirroring test.py's --mask/--refine flags). Frame height/width are static per
+    video (one compile per resolution; XLA caches)."""
+
+    def __init__(self, model, p: TrackerConfig, mask: bool = True,
+                 refine: bool = True):
+        self.model = model
+        self.p = p
+        self.mask_enable = mask
+        self.refine_enable = refine
+        self.anchor = jnp.asarray(generate_score_map_anchors(p.anchor_config(),
+                                                             p.score_size))
+        self.window = jnp.asarray(make_window(p))
+        self._init_jit = jax.jit(self._init_impl)
+        self._step_jit = jax.jit(self._step_impl)
+
+    # ---------------- init ----------------
+
+    def _init_impl(self, variables, frame, target_pos, target_sz):
+        p = self.p
+        avg_chans = jnp.mean(frame, axis=(0, 1))
+        s_z = jnp.round(_context_size(target_sz, p.context_amount))
+        z_crop = subwindow_crop(frame, target_pos, s_z, p.exemplar_size, avg_chans)
+        zf = self.model.apply(variables, z_crop[None], method="template")
+        return TrackState(target_pos=target_pos.astype(jnp.float32),
+                          target_sz=target_sz.astype(jnp.float32),
+                          zf=zf, avg_chans=avg_chans,
+                          score=jnp.zeros((), jnp.float32))
+
+    def init(self, variables, frame, target_pos, target_sz) -> TrackState:
+        """frame: (H, W, 3) float32; target_pos/target_sz: (2,) arrays."""
+        return self._init_jit(variables, frame,
+                              jnp.asarray(target_pos, jnp.float32),
+                              jnp.asarray(target_sz, jnp.float32))
+
+    # ---------------- step ----------------
+
+    def _step_impl(self, variables, state: TrackState, frame):
+        p = self.p
+        k = p.anchor_num
+        s = p.score_size
+        im_h, im_w = frame.shape[0], frame.shape[1]
+        target_pos, target_sz = state.target_pos, state.target_sz
+
+        # search-region geometry (test.py:180-187)
+        s_x = _context_size(target_sz, p.context_amount)
+        scale_x = p.exemplar_size / s_x
+        pad = (p.instance_size - p.exemplar_size) / 2 / scale_x
+        s_x_full = jnp.round(s_x + 2 * pad)
+        crop_xy = target_pos - s_x_full / 2
+
+        x_crop = subwindow_crop(frame, target_pos, s_x_full, p.instance_size,
+                                state.avg_chans)[None]
+
+        if self.mask_enable:
+            out = self.model.apply(variables, state.zf, x_crop, method="track_mask")
+            score_map, loc_map = out.score, out.loc
+        else:
+            score_map, loc_map = self.model.apply(variables, state.zf, x_crop,
+                                                  method="track")
+            out = None
+
+        # decode (test.py:205-212); channels blocked (2,k) / (4,k)
+        logits = _flatten_anchor_major(score_map, k)     # (2, kSS)
+        score = jax.nn.sigmoid(logits[1] - logits[0])    # 2-way softmax prob of fg
+        delta = _flatten_anchor_major(loc_map, k)        # (4, kSS)
+
+        dx = delta[0] * self.anchor[:, 2] + self.anchor[:, 0]
+        dy = delta[1] * self.anchor[:, 3] + self.anchor[:, 1]
+        dw = jnp.exp(delta[2]) * self.anchor[:, 2]
+        dh = jnp.exp(delta[3]) * self.anchor[:, 3]
+
+        def change(r):
+            return jnp.maximum(r, 1.0 / r)
+
+        def ssz(w, h):
+            pad_ = (w + h) * 0.5
+            return jnp.sqrt((w + pad_) * (h + pad_))
+
+        target_in_crop = target_sz * scale_x
+        s_c = change(ssz(dw, dh) / ssz(target_in_crop[0], target_in_crop[1]))
+        r_c = change((target_in_crop[0] / target_in_crop[1]) / (dw / dh))
+        penalty = jnp.exp(-(r_c * s_c - 1) * p.penalty_k)
+        pscore = penalty * score * (1 - p.window_influence) \
+            + self.window * p.window_influence
+        best = jnp.argmax(pscore)
+
+        # state update (test.py:239-249)
+        lr = penalty[best] * score[best] * p.lr
+        new_pos = target_pos + jnp.stack([dx[best], dy[best]]) / scale_x
+        pred_wh = jnp.stack([dw[best], dh[best]]) / scale_x
+        new_sz = target_sz * (1 - lr) + pred_wh * lr
+
+        mask_in_frame = None
+        mask_cell = None
+        if self.mask_enable:
+            # unravel best -> (anchor, row, col)
+            cell = best % (s * s)
+            delta_y = cell // s
+            delta_x = cell % s
+
+            if self.refine_enable:
+                logits_m = self.model.apply(
+                    variables, out.skips, out.corr,
+                    jnp.stack([delta_y, delta_x]).astype(jnp.int32),
+                    method="track_refine")          # (1, 127*127)
+                mask_cell = jax.nn.sigmoid(
+                    logits_m.reshape(p.out_size, p.out_size))
+            else:
+                mvec = jax.lax.dynamic_slice(
+                    out.mask, (0, delta_y, delta_x, 0),
+                    (1, 1, 1, out.mask.shape[3]))
+                mask_cell = jax.nn.sigmoid(
+                    mvec.reshape(p.out_size, p.out_size))
+
+            # warp back to frame coords (test.py:276-282)
+            sc = s_x_full / p.instance_size
+            sub_x = crop_xy[0] + (delta_x - p.base_size / 2) * p.total_stride * sc
+            sub_y = crop_xy[1] + (delta_y - p.base_size / 2) * p.total_stride * sc
+            sub_w = sc * p.exemplar_size
+            s2 = p.out_size / sub_w
+            back_box = jnp.stack([-sub_x * s2, -sub_y * s2, im_w * s2, im_h * s2])
+            mask_in_frame = warp_back_mask(mask_cell, back_box, (im_h, im_w))
+
+        # clamp into frame (test.py:305-308)
+        new_pos = jnp.clip(new_pos, jnp.zeros(2),
+                           jnp.array([im_w, im_h], jnp.float32))
+        new_sz = jnp.clip(new_sz, jnp.full(2, 10.0),
+                          jnp.array([im_w, im_h], jnp.float32))
+
+        new_state = state._replace(target_pos=new_pos, target_sz=new_sz,
+                                   score=score[best])
+        return new_state, StepOutput(new_pos, new_sz, score[best], best,
+                                     mask_in_frame, mask_cell)
+
+    def step(self, variables, state: TrackState, frame):
+        return self._step_jit(variables, state, frame)
+
+    # ---------------- whole-video scan ----------------
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _scan_jit(self, variables, state, frames):
+        def body(st, frame):
+            st, out = self._step_impl(variables, st, frame)
+            return st, out
+
+        return jax.lax.scan(body, state, frames)
+
+    def track_video(self, variables, state: TrackState, frames):
+        """frames: (T, H, W, 3) stacked on device. Returns (final_state, outputs)
+        where outputs are stacked StepOutputs — zero host round-trips per frame."""
+        return self._scan_jit(variables, state, frames)

@@ -1,0 +1,264 @@
+"""Training engine: pjit data-parallel step, per-module LR groups, progressive
+backbone unfreeze, grad clipping, NaN guard.
+
+Re-designs `tools/train_siammask.py` / `train_siamrpn.py` / `train_siammask_refine.py`
+for TPU:
+
+- The train step is one jitted program over a data mesh; batch sharded on axis 0,
+  params replicated — XLA inserts the psum gradient all-reduce (the DataParallel
+  replacement, SURVEY §2.10).
+- Optimizer: SGD momentum 0.9 + weight decay 1e-4 in torch's formulation
+  (g + wd*w fed to the momentum buffer), per-group LR multipliers via
+  ``optax.multi_transform`` labels — backbone resnet x0.1 (custom.py:43-56),
+  neck / rpn / mask / refine at their config multipliers, frozen groups zeroed.
+- Progressive unfreeze (`features.unfix`, models/features.py:45-57): epoch
+  fraction >= 0.5 unlocks layer2+layer3; crossing the boundary rebuilds the
+  optimizer (fresh momentum) and re-jits with train-mode BN for those stages —
+  the analogue of `train_siammask.py:208-210`.
+- Loss = w_cls*cls + w_loc*loc + w_mask*mask (`train_siammask.py:241-243`);
+  skip-step guard on non-finite/huge loss (`:180-181,255`); global-norm grad clip
+  (`:248-253`).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from siammask_tpu.models.losses import (select_cross_entropy_loss,
+                                        select_mask_logistic_loss,
+                                        weight_l1_loss)
+from siammask_tpu.parallel.mesh import batch_sharding, replicated
+
+
+# ---------------------------------------------------------------------------
+# parameter grouping
+
+
+def label_params(params: dict, unfreeze_backbone: bool, train_refine_only: bool = False):
+    """Assign each param leaf an optimizer-group label.
+
+    Groups: 'resnet' (backbone conv stages, x0.1 LR), 'neck', 'rpn', 'mask',
+    'refine', 'frozen'. The stem+layer1 are always frozen; layer2/3 follow the
+    unfreeze schedule. ``train_refine_only`` freezes everything but mask+refine
+    (stage-2 refine training)."""
+
+    def label_for(path: tuple) -> str:
+        top = path[0]
+        if train_refine_only:
+            if top in ("mask_corr",):
+                return "mask"
+            if top == "refine":
+                return "refine"
+            return "frozen"
+        if top == "backbone":
+            stage = path[1]
+            if stage in ("conv1", "bn1", "layer1"):
+                return "frozen"
+            return "resnet" if unfreeze_backbone else "frozen"
+        if top == "neck":
+            return "neck"
+        if top == "rpn":
+            return "rpn"
+        if top == "mask_corr":
+            return "mask"
+        if top == "refine":
+            return "refine"
+        raise KeyError(f"unknown param subtree {path}")
+
+    def walk(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        return label_for(path)
+
+    return walk(params)
+
+
+@dataclass
+class OptimizerConfig:
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    clip: float = 10.0
+    feature_lr_mult: float = 1.0
+    rpn_lr_mult: float = 1.0
+    mask_lr_mult: float = 1.0
+
+    @classmethod
+    def from_lr_cfg(cls, lr_cfg: dict, clip: float = 10.0) -> "OptimizerConfig":
+        return cls(feature_lr_mult=lr_cfg.get("feature_lr_mult", 1.0),
+                   rpn_lr_mult=lr_cfg.get("rpn_lr_mult", 1.0),
+                   mask_lr_mult=lr_cfg.get("mask_lr_mult", 1.0),
+                   clip=clip)
+
+
+def build_optimizer(params: dict, cfg: OptimizerConfig, unfreeze_backbone: bool,
+                    train_refine_only: bool = False):
+    """Build the optax transform + labels. LR itself is injected per step (the
+    epoch schedule array indexes it), so transforms only apply group multipliers."""
+    mults = {
+        "resnet": 0.1 * cfg.feature_lr_mult,
+        "neck": 1.0 * cfg.feature_lr_mult,
+        "rpn": cfg.rpn_lr_mult,
+        "mask": cfg.mask_lr_mult,
+        "refine": cfg.mask_lr_mult,
+    }
+
+    def group_transform(mult):
+        return optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.trace(decay=cfg.momentum, nesterov=False),
+            optax.scale(mult),
+        )
+
+    transforms = {name: group_transform(m) for name, m in mults.items()}
+    transforms["frozen"] = optax.set_to_zero()
+    labels = label_params(params, unfreeze_backbone, train_refine_only)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.clip),
+        optax.multi_transform(transforms, labels),
+    )
+    return tx, labels
+
+
+# ---------------------------------------------------------------------------
+# train step
+
+
+@dataclass
+class TrainSettings:
+    task: str = "sharp"             # 'siamrpn' | 'base' | 'sharp' | 'sharp_refine'
+    loss_weight: tuple = (1.0, 1.0, 36.0)
+    o_sz: int = 63
+    g_sz: int = 127
+    mask_pad: int = 32              # 32 for base-255 search, 0 for sharp-143
+    max_pos: int = 64
+
+
+def make_train_step(model, settings: TrainSettings, tx, mesh=None,
+                    unfreeze_backbone: bool = False) -> Callable:
+    """Returns jitted step(variables, opt_state, batch, lr) ->
+    (variables, opt_state, metrics)."""
+    w_cls, w_loc, w_mask = settings.loss_weight
+    train_layers = (unfreeze_backbone, unfreeze_backbone)
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if settings.task == "siamrpn":
+            (score, loc), new_model_state = model.apply(
+                variables, batch["template"], batch["search"],
+                train_layers=train_layers, method="forward_train",
+                mutable=["batch_stats"])
+            pred_mask = None
+        elif settings.task == "base":
+            out, new_model_state = model.apply(
+                variables, batch["template"], batch["search"],
+                train_layers=train_layers, method="forward_train",
+                mutable=["batch_stats"])
+            score, loc, pred_mask = out.score, out.loc, out.mask
+        else:  # sharp / sharp_refine
+            refine_only = settings.task == "sharp_refine"
+            (score, loc, pred_mask), new_model_state = model.apply(
+                variables, batch["template"], batch["search"],
+                train_layers=(False, False) if refine_only else train_layers,
+                train_backbone_neck=not refine_only,
+                train_rpn=not refine_only,
+                method="forward_train", mutable=["batch_stats"])
+
+        cls_loss = select_cross_entropy_loss(score, batch["label_cls"])
+        loc_loss = weight_l1_loss(loc, batch["label_loc"],
+                                  batch["label_loc_weight"])
+        metrics = {"cls_loss": cls_loss, "loc_loss": loc_loss}
+        total = w_cls * cls_loss + w_loc * loc_loss
+        if pred_mask is not None:
+            m = select_mask_logistic_loss(
+                pred_mask, batch["label_mask"], batch["label_mask_weight"],
+                o_sz=settings.o_sz, g_sz=settings.g_sz,
+                padding=settings.mask_pad, max_pos=settings.max_pos)
+            total = total + w_mask * m.loss
+            metrics.update(mask_loss=m.loss, iou_mean=m.iou_mean,
+                           iou_at_5=m.iou_at_5, iou_at_7=m.iou_at_7)
+        metrics["total_loss"] = total
+        return total, (new_model_state["batch_stats"], metrics)
+
+    def step(variables, opt_state, batch, lr):
+        params = variables["params"]
+        (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, variables["batch_stats"], batch)
+
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(params, updates)
+
+        # NaN/huge-loss guard (train_siammask.py:180-181,255): skip the whole
+        # update, including BN running stats, when the loss is sick.
+        ok = jnp.isfinite(loss) & (jnp.abs(loss) <= 1e4)
+        pick = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new, old)
+        new_params = pick(new_params, params)
+        new_opt_state = pick(new_opt_state, opt_state)
+        new_stats = pick(new_stats, variables["batch_stats"])
+        metrics["skipped"] = (~ok).astype(jnp.float32)
+
+        return ({"params": new_params, "batch_stats": new_stats},
+                new_opt_state, metrics)
+
+    if mesh is not None:
+        bspec = batch_sharding(mesh)
+        rspec = replicated(mesh)
+        return jax.jit(step,
+                       in_shardings=(rspec, rspec, bspec, rspec),
+                       out_shardings=(rspec, rspec, rspec))
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# high-level loop helper
+
+
+class Trainer:
+    """Epoch-driven loop: owns optimizer rebuilds at unfreeze boundaries, LR
+    schedule indexing, and checkpoint policy. IO-free — callers drive it with
+    batches (see tools/train.py)."""
+
+    def __init__(self, model, variables, settings: TrainSettings,
+                 opt_cfg: OptimizerConfig, lr_spaces: np.ndarray,
+                 epochs: int, mesh=None, unfreeze_at: float = 0.5):
+        self.model = model
+        self.variables = variables
+        self.settings = settings
+        self.opt_cfg = opt_cfg
+        self.lr_spaces = lr_spaces
+        self.epochs = epochs
+        self.mesh = mesh
+        self.unfreeze_at = unfreeze_at
+        self._unfrozen = None
+        self._step_fn = None
+        self.opt_state = None
+        self._ensure_phase(0)
+
+    def _ensure_phase(self, epoch: int):
+        refine_only = self.settings.task == "sharp_refine"
+        unfrozen = (not refine_only) and (epoch / self.epochs >= self.unfreeze_at)
+        if unfrozen == self._unfrozen:
+            return
+        self._unfrozen = unfrozen
+        tx, _ = build_optimizer(self.variables["params"], self.opt_cfg,
+                                unfreeze_backbone=unfrozen,
+                                train_refine_only=refine_only)
+        self._tx = tx
+        self.opt_state = tx.init(self.variables["params"])
+        self._step_fn = make_train_step(self.model, self.settings, tx,
+                                        mesh=self.mesh,
+                                        unfreeze_backbone=unfrozen)
+
+    def step(self, batch: dict, epoch: int):
+        self._ensure_phase(epoch)
+        lr = jnp.float32(self.lr_spaces[min(epoch, len(self.lr_spaces) - 1)])
+        self.variables, self.opt_state, metrics = self._step_fn(
+            self.variables, self.opt_state, batch, lr)
+        return metrics

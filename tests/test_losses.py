@@ -1,0 +1,126 @@
+"""Loss parity vs the reference loss functions (torch oracles, .cuda() patched to
+no-op since the reference hard-codes it)."""
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from siammask_tpu.models.losses import (select_cross_entropy_loss,
+                                        select_mask_logistic_loss, weight_l1_loss)
+
+RNG = np.random.RandomState(11)
+
+
+@pytest.fixture(scope="module")
+def ref_losses(reference_path):
+    sys.path.insert(0, str(reference_path))
+    torch.Tensor.cuda = lambda self, *a, **k: self  # reference hard-codes .cuda()
+    from models import siammask as ref_base  # noqa
+    from models import siammask_sharp as ref_sharp  # noqa
+    yield ref_base, ref_sharp
+    sys.path.remove(str(reference_path))
+
+
+def test_cls_loss_parity(ref_losses):
+    _, ref_sharp = ref_losses
+    b, k, s = 4, 5, 25
+    pred = RNG.randn(b, 2 * k, s, s).astype(np.float32)
+    label = RNG.choice([-1, 0, 1], size=(b, k, s, s), p=[0.8, 0.15, 0.05])
+
+    theirs = ref_sharp.select_cross_entropy_loss(
+        ref_sharp.SiamMask.softmax(None, torch.from_numpy(pred)),
+        torch.from_numpy(label.astype(np.int64)))
+    ours = select_cross_entropy_loss(
+        jnp.asarray(np.transpose(pred, (0, 2, 3, 1))), jnp.asarray(label))
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5)
+
+
+def test_loc_loss_parity(ref_losses):
+    _, ref_sharp = ref_losses
+    b, k, s = 4, 5, 25
+    pred = RNG.randn(b, 4 * k, s, s).astype(np.float32)
+    label = RNG.randn(b, 4, k, s, s).astype(np.float32)
+    weight = (RNG.rand(b, k, s, s) < 0.05).astype(np.float32) / 16.0
+
+    theirs = ref_sharp.weight_l1_loss(torch.from_numpy(pred),
+                                      torch.from_numpy(label),
+                                      torch.from_numpy(weight))
+    ours = weight_l1_loss(jnp.asarray(np.transpose(pred, (0, 2, 3, 1))),
+                          jnp.asarray(label), jnp.asarray(weight))
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5)
+
+
+def _numpy_iou_oracle(p_m, mask, weight):
+    """Historical-intent IoU of selected rows: pred = upsampled(p_m)>=0 vs gt==1."""
+    import torch.nn.functional as F
+    w = weight.reshape(-1)
+    pos = np.where(w == 1)[0]
+    if p_m.ndim == 4:
+        rows = np.transpose(p_m, (0, 2, 3, 1)).reshape(-1, 63, 63)[pos]
+        rows_t = torch.from_numpy(rows)[:, None]
+        pred = F.interpolate(rows_t, size=(127, 127), mode="bilinear",
+                             align_corners=True).numpy().reshape(len(pos), -1)
+    else:
+        pred = p_m[pos]
+    mu = F.unfold(torch.from_numpy(mask), (127, 127),
+                  padding=32 if mask.shape[-1] == 255 else 0, stride=8)
+    mu = mu.transpose(1, 2).reshape(-1, 127 * 127).numpy()[pos]
+    p = pred >= 0
+    l = mu == 1
+    iou = (p & l).sum(1) / np.maximum((p | l).sum(1), 1)
+    return iou.mean(), (iou > 0.5).mean(), (iou > 0.7).mean()
+
+
+def test_mask_loss_parity_base(ref_losses):
+    ref_base, _ = ref_losses
+    b, s = 2, 25
+    p_m = RNG.randn(b, 63 * 63, s, s).astype(np.float32)
+    mask = np.sign(RNG.randn(b, 1, 255, 255)).astype(np.float32)
+    weight = np.zeros((b, 1, s, s), np.float32)
+    pos = RNG.choice(b * s * s, size=12, replace=False)
+    weight.reshape(-1)[pos] = 1.0
+
+    loss_t, _, _, _ = ref_base.select_mask_logistic_loss(
+        torch.from_numpy(p_m), torch.from_numpy(mask), torch.from_numpy(weight))
+    ours = select_mask_logistic_loss(
+        jnp.asarray(np.transpose(p_m, (0, 2, 3, 1))),
+        jnp.asarray(mask[:, 0]), jnp.asarray(weight[:, 0]),
+        o_sz=63, g_sz=127, padding=32)
+    np.testing.assert_allclose(float(ours.loss), float(loss_t), rtol=1e-4)
+    # NOTE: the reference's iou_measure relies on torch-0.4 byte-tensor add
+    # semantics (`pred.eq(1).add(label.eq(1)) == 2`); on modern torch bool.add is
+    # logical-or so the oracle silently returns 0. Compute the intended IoU here.
+    im_np, i5_np, i7_np = _numpy_iou_oracle(p_m, mask, weight)
+    np.testing.assert_allclose(float(ours.iou_mean), im_np, rtol=1e-4)
+    np.testing.assert_allclose(float(ours.iou_at_5), i5_np, rtol=1e-4)
+    np.testing.assert_allclose(float(ours.iou_at_7), i7_np, rtol=1e-4)
+
+
+def test_mask_loss_parity_sharp(ref_losses):
+    _, ref_sharp = ref_losses
+    b, s = 2, 3  # sharp refine stage: 143 search -> 3x3 cells
+    p_m = RNG.randn(b * s * s, 127 * 127).astype(np.float32)
+    mask = np.sign(RNG.randn(b, 1, 143, 143)).astype(np.float32)
+    weight = np.zeros((b, 1, s, s), np.float32)
+    weight.reshape(-1)[[0, 4, 7, 10, 17]] = 1.0
+
+    loss_t, _, _, _ = ref_sharp.select_mask_logistic_loss(
+        torch.from_numpy(p_m), torch.from_numpy(mask), torch.from_numpy(weight))
+    ours = select_mask_logistic_loss(
+        jnp.asarray(p_m), jnp.asarray(mask[:, 0]), jnp.asarray(weight[:, 0]),
+        g_sz=127, padding=0)
+    np.testing.assert_allclose(float(ours.loss), float(loss_t), rtol=1e-4)
+    im_np, _, _ = _numpy_iou_oracle(p_m, mask, weight)
+    np.testing.assert_allclose(float(ours.iou_mean), im_np, rtol=1e-4)
+
+
+def test_mask_loss_no_positives():
+    b, s = 1, 3
+    p_m = jnp.asarray(RNG.randn(b * s * s, 127 * 127).astype(np.float32))
+    mask = jnp.asarray(np.sign(RNG.randn(b, 143, 143)).astype(np.float32))
+    weight = jnp.zeros((b, s, s), jnp.float32)
+    out = select_mask_logistic_loss(p_m, mask, weight, g_sz=127, padding=0)
+    assert float(out.loss) == 0.0 and float(out.iou_mean) == 0.0
