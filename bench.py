@@ -1,0 +1,65 @@
+"""Benchmark: single-stream SiamMask-sharp track-step FPS on one TPU chip.
+
+Measures the fully fused on-device step (sub-window crop + backbone + heads +
+decode/penalty/argmax + refine + warp-back to frame coords) on a DAVIS-sized
+frame — the same work the reference counts in its 56 FPS mask+refine number
+(README.md:141,145, RTX 2080).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FPS = 56.0  # reference SiamMask (mask+refine) on RTX 2080
+
+
+def main():
+    from siammask_tpu.config import TrackerConfig
+    from siammask_tpu.models.siammask import SiamMaskSharp
+    from siammask_tpu.tracker.tracker import Tracker
+
+    hp = {"instance_size": 255, "out_size": 127, "base_size": 8,
+          "seg_thr": 0.35, "penalty_k": 0.04, "window_influence": 0.4, "lr": 1.0}
+    p = TrackerConfig().update(hp)
+
+    model = SiamMaskSharp()
+    rng = np.random.RandomState(0)
+    z = jnp.zeros((1, 127, 127, 3), jnp.float32)
+    x = jnp.zeros((1, 255, 255, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), z, x)
+
+    tracker = Tracker(model, p, mask=True, refine=True)
+
+    im_h, im_w = 480, 854  # DAVIS frame geometry
+    frame = jnp.asarray(rng.uniform(0, 255, (im_h, im_w, 3)), jnp.float32)
+    state = tracker.init(variables, frame,
+                         np.array([427.0, 240.0]), np.array([120.0, 160.0]))
+
+    # warmup / compile
+    state2, out = tracker.step(variables, state, frame)
+    jax.block_until_ready(out.mask_in_frame)
+
+    iters = 100
+    t0 = time.perf_counter()
+    st = state
+    for _ in range(iters):
+        st, out = tracker.step(variables, st, frame)
+    jax.block_until_ready(out.mask_in_frame)
+    dt = time.perf_counter() - t0
+    fps = iters / dt
+
+    print(json.dumps({
+        "metric": "siammask_sharp_track_step_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Host-level tracker runtime: numpy frames in, reference-format state out.
+
+Thin shell around the compiled `Tracker` (tracker.py): feeds frames to the
+on-device step and does the only remaining host work — rotated-box extraction
+from the binary mask (cv2 contours + minAreaRect, `tools/test.py:284-303`),
+which the VOT protocol needs as the reported polygon.
+"""
+from __future__ import annotations
+
+import cv2
+import numpy as np
+
+import jax.numpy as jnp
+
+from siammask_tpu.config import TrackerConfig
+from siammask_tpu.tracker.tracker import Tracker, TrackState
+from siammask_tpu.utils.bbox import cxy_wh_2_rect
+
+
+def mask_to_rotated_box(target_mask: np.ndarray, target_pos, target_sz):
+    """Largest-contour minAreaRect polygon; falls back to the axis-aligned box
+    from the box branch when the mask is empty (test.py:284-303)."""
+    contours, _ = cv2.findContours(target_mask.astype(np.uint8),
+                                   cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)
+    cnt_area = [cv2.contourArea(cnt) for cnt in contours]
+    if len(contours) != 0 and np.max(cnt_area) > 100:
+        contour = contours[int(np.argmax(cnt_area))]
+        polygon = contour.reshape(-1, 2)
+        return cv2.boxPoints(cv2.minAreaRect(polygon))
+    location = cxy_wh_2_rect(target_pos, target_sz)
+    return np.array([[location[0], location[1]],
+                     [location[0] + location[2], location[1]],
+                     [location[0] + location[2], location[1] + location[3]],
+                     [location[0], location[1] + location[3]]])
+
+
+class TrackerRuntime:
+    """Stateful convenience wrapper: owns variables + TrackState, mirrors the
+    reference's state-dict API (siamese_init/siamese_track)."""
+
+    def __init__(self, model, variables, p: TrackerConfig, mask: bool = True,
+                 refine: bool = True):
+        self.tracker = Tracker(model, p, mask=mask, refine=refine)
+        self.variables = variables
+        self.p = p
+        self.mask_enable = mask
+        self.state: TrackState | None = None
+
+    def init(self, im: np.ndarray, target_pos, target_sz):
+        frame = jnp.asarray(im, jnp.float32)
+        self.state = self.tracker.init(self.variables, frame,
+                                       np.asarray(target_pos, np.float32),
+                                       np.asarray(target_sz, np.float32))
+        return self.state
+
+    def track(self, im: np.ndarray) -> dict:
+        frame = jnp.asarray(im, jnp.float32)
+        self.state, out = self.tracker.step(self.variables, self.state, frame)
+        result = {
+            "target_pos": np.asarray(out.target_pos),
+            "target_sz": np.asarray(out.target_sz),
+            "score": float(out.score),
+        }
+        if self.mask_enable:
+            mask_in_frame = np.asarray(out.mask_in_frame)
+            target_mask = (mask_in_frame > self.p.seg_thr).astype(np.uint8)
+            result["mask"] = mask_in_frame
+            result["polygon"] = mask_to_rotated_box(
+                target_mask, result["target_pos"], result["target_sz"])
+        return result

@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the training-step tests compile several large
+# fwd+bwd programs — cache them across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_siammask_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import sys
 from pathlib import Path

@@ -1,0 +1,67 @@
+"""Demo: track an object through a frame directory (tennis clip by default).
+
+Mirrors `tools/demo.py`: init from a box on frame 0, per-frame mask+refine track,
+writes overlay frames (headless: saves instead of cv2.imshow).
+"""
+import argparse
+import sys
+import time
+from glob import glob
+from os import makedirs
+from os.path import dirname, isdir, join, realpath
+
+sys.path.insert(0, dirname(dirname(realpath(__file__))))
+
+import cv2
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description="SiamMask-TPU demo")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--resume", default=None)
+    parser.add_argument("--base-path", default="/root/reference/data/tennis")
+    parser.add_argument("--box", default="300,110,165,250",
+                        help="x,y,w,h init box (frame 0)")
+    parser.add_argument("--out-dir", default=None, help="write overlays here")
+    args = parser.parse_args()
+
+    from siammask_tpu.config import Config
+    from siammask_tpu.tracker.runtime import TrackerRuntime
+    from tools.test import build_model, load_variables
+
+    cfg = Config.load(args.config)
+    model = build_model(cfg.arch, cfg.anchors.anchor_num)
+    variables = load_variables(model, args.resume)
+    runtime = TrackerRuntime(model, variables, cfg.tracker_config(),
+                             mask=True, refine=True)
+
+    img_files = sorted(glob(join(args.base_path, "*.jp*")))
+    ims = [cv2.imread(f) for f in img_files]
+
+    x, y, w, h = map(int, args.box.split(","))
+    toc = 0.0
+    for f, im in enumerate(ims):
+        tic = time.perf_counter()
+        if f == 0:
+            runtime.init(im, np.array([x + w / 2, y + h / 2]), np.array([w, h]))
+        else:
+            out = runtime.track(im)
+        toc += time.perf_counter() - tic
+
+        if args.out_dir and f > 0:
+            if not isdir(args.out_dir):
+                makedirs(args.out_dir)
+            mask = out["mask"] > runtime.p.seg_thr
+            im_show = im.copy()
+            im_show[:, :, 2] = mask * 255 + (1 - mask) * im_show[:, :, 2]
+            cv2.polylines(im_show, [np.intp(out["polygon"]).reshape(-1, 1, 2)],
+                          True, (0, 255, 0), 3)
+            cv2.imwrite(join(args.out_dir, f"{f:05d}.jpg"), im_show)
+
+    print(f"SiamMask-TPU demo: {len(ims)} frames in {toc:.1f}s "
+          f"({(len(ims) - 1) / toc:.1f} fps)")
+
+
+if __name__ == "__main__":
+    main()

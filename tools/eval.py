@@ -1,0 +1,73 @@
+"""Offline VOT evaluation (EAO / Accuracy / Robustness) over written result dirs.
+
+Mirrors `tools/eval.py`: glob tracker result dirs by prefix, score AR then EAO,
+pretty table. Process-pool fan-out over trackers.
+"""
+import argparse
+import sys
+from glob import glob
+from multiprocessing import Pool
+from os.path import basename, dirname, isdir, join, realpath
+
+sys.path.insert(0, dirname(dirname(realpath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Evaluate VOT results")
+    parser.add_argument("--dataset", default="VOT2018")
+    parser.add_argument("--dataset-dir", default="data",
+                        help="dir containing <dataset>.json metadata")
+    parser.add_argument("--result-dir", default="test")
+    parser.add_argument("--tracker-prefix", default="",
+                        help="filter tracker result dirs by prefix")
+    parser.add_argument("--num", type=int, default=4, help="process pool size")
+    args = parser.parse_args()
+
+    from siammask_tpu.eval.benchmarks import (AccuracyRobustnessBenchmark,
+                                              EAOBenchmark)
+    from siammask_tpu.eval.datasets import VOTDataset
+
+    tracker_root = join(args.result_dir, args.dataset)
+    trackers = sorted(basename(x) for x in glob(join(tracker_root,
+                                                     args.tracker_prefix + "*"))
+                      if isdir(x))
+    if not trackers:
+        print(f"no tracker results under {tracker_root}")
+        return
+
+    dataset = VOTDataset(args.dataset, args.dataset_dir)
+    dataset.set_tracker(tracker_root, trackers)
+
+    ar = AccuracyRobustnessBenchmark(dataset)
+    eao = EAOBenchmark(dataset)
+
+    if args.num > 1 and len(trackers) > 1:
+        with Pool(min(args.num, len(trackers))) as pool:
+            ar_results = {}
+            for r in pool.imap_unordered(ar.eval, trackers):
+                ar_results.update(r)
+            eao_results = {}
+            for r in pool.imap_unordered(eao.eval, trackers):
+                eao_results.update(r)
+    else:
+        ar_results = ar.eval(trackers)
+        eao_results = eao.eval(trackers)
+
+    summary = AccuracyRobustnessBenchmark.summarize(ar_results)
+    name_len = max(max(len(t) for t in trackers) + 2, 12)
+    header = (f"|{'Tracker Name':^{name_len}}|{'Accuracy':^10}|"
+              f"{'Robustness':^12}|{'Lost Number':^13}|{'EAO':^7}|")
+    bar = "-" * len(header)
+    print(bar)
+    print(header)
+    print(bar)
+    for name in sorted(trackers, key=lambda t: -eao_results[t]["all"]):
+        s = summary[name]
+        print(f"|{name:^{name_len}}|{s['accuracy']:^10.3f}|"
+              f"{s['robustness']:^12.3f}|{s['lost_number']:^13.1f}|"
+              f"{eao_results[name]['all']:^7.3f}|")
+    print(bar)
+
+
+if __name__ == "__main__":
+    main()

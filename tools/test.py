@@ -1,0 +1,110 @@
+"""Benchmark test entry point (VOT + VOS), mirroring the reference tools/test.py CLI.
+
+Usage:
+    python tools/test.py --config experiments/siammask_sharp/config_vot.json \
+        --resume checkpoint.pth --mask --refine --dataset VOT2018 --data-dir data
+"""
+import argparse
+import sys
+from os.path import dirname, realpath
+
+sys.path.insert(0, dirname(dirname(realpath(__file__))))
+
+import numpy as np
+
+
+def build_model(arch: str, anchor_num: int = 5):
+    from siammask_tpu.models.siammask import SiamMaskBase, SiamMaskSharp, SiamRPN
+
+    if arch in ("Custom", "SiamMaskSharp"):
+        return SiamMaskSharp(anchor_num=anchor_num)
+    if arch == "SiamMaskBase":
+        return SiamMaskBase(anchor_num=anchor_num)
+    if arch in ("SiamRPN",):
+        return SiamRPN(anchor_num=anchor_num)
+    raise ValueError(f"unknown arch {arch!r}")
+
+
+def load_variables(model, resume: str | None):
+    import jax
+    import jax.numpy as jnp
+
+    if resume:
+        if resume.endswith(".pth"):
+            from siammask_tpu.utils.torch_convert import load_torch_checkpoint
+            return load_torch_checkpoint(resume)
+        from siammask_tpu.train.checkpoint import load_checkpoint
+        return load_checkpoint(resume)["variables"]
+    # random init (smoke runs)
+    return model.init(jax.random.PRNGKey(0), jnp.zeros((1, 127, 127, 3)),
+                      jnp.zeros((1, 255, 255, 3)))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Test SiamMask-TPU")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--resume", default=None)
+    parser.add_argument("--arch", default="Custom")
+    parser.add_argument("--mask", action="store_true")
+    parser.add_argument("--refine", action="store_true")
+    parser.add_argument("--dataset", default="VOT2018")
+    parser.add_argument("--data-dir", default="data")
+    parser.add_argument("--video", default="", help="run one video only")
+    parser.add_argument("--save_mask", action="store_true")
+    parser.add_argument("--result-dir", default="test")
+    parser.add_argument("--tracker-name", default=None)
+    args = parser.parse_args()
+
+    from siammask_tpu.config import Config
+    from siammask_tpu.eval.datasets import load_dataset
+    from siammask_tpu.tracker.runtime import TrackerRuntime
+    from siammask_tpu.tracker.vos import track_vos
+    from siammask_tpu.tracker.vot import track_vot
+
+    cfg = Config.load(args.config)
+    model = build_model(cfg.arch, cfg.anchors.anchor_num)
+    variables = load_variables(model, args.resume)
+    p = cfg.tracker_config()
+
+    tracker_name = args.tracker_name or (
+        cfg.arch + "_" + ("mask_" if args.mask else "")
+        + ("refine_" if args.refine else "")
+        + (args.resume.split("/")[-1].split(".")[0] if args.resume else "random"))
+
+    dataset = load_dataset(args.dataset, args.data_dir)
+    if args.video:
+        dataset = {args.video: dataset[args.video]}
+
+    runtime = TrackerRuntime(model, variables, p, mask=args.mask,
+                             refine=args.refine)
+
+    vos_enable = args.dataset.startswith("DAVIS") or args.dataset == "ytb_vos"
+    total_lost = 0
+    ious = []
+    speeds = []
+    for v_id, video in enumerate(dataset.values(), 1):
+        if vos_enable:
+            iou, fps = track_vos(
+                runtime, video,
+                mot_enable=args.dataset in ("DAVIS2017", "ytb_vos"),
+                result_dir=args.result_dir, dataset=args.dataset,
+                tracker_name=tracker_name, save_mask=args.save_mask)
+            if len(iou) > 0:
+                ious.append(np.mean(iou))
+            speeds.append(fps)
+        else:
+            lost, fps = track_vot(runtime, video, dataset=args.dataset,
+                                  mask_enable=args.mask,
+                                  result_dir=args.result_dir,
+                                  tracker_name=tracker_name)
+            total_lost += lost
+            speeds.append(fps)
+
+    if vos_enable:
+        print(f"Mean IoU: {np.mean(ious):.4f}  Mean speed: {np.mean(speeds):.1f}fps")
+    else:
+        print(f"Total lost: {total_lost}  Mean speed: {np.mean(speeds):.1f}fps")
+
+
+if __name__ == "__main__":
+    main()

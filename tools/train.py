@@ -1,0 +1,118 @@
+"""Training entry point (SiamRPN / SiamMask-base / SiamMask-sharp refine stage).
+
+Mirrors the reference `tools/train_siammask.py` / `train_siamrpn.py` /
+`train_siammask_refine.py` CLIs: config-driven datasets/LR/loss weights,
+epoch-indexed schedule, per-epoch checkpoints, progressive unfreeze.
+
+Usage:
+    python tools/train.py --config experiments/siammask_base/config.json \
+        --task base --epochs 20 --batch 64 --save-dir snapshot
+"""
+import argparse
+import logging
+import sys
+import time
+from os.path import dirname, join, realpath
+
+sys.path.insert(0, dirname(dirname(realpath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train SiamMask-TPU")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--task", default="base",
+                        choices=["siamrpn", "base", "sharp", "sharp_refine"])
+    parser.add_argument("--epochs", type=int, default=20)
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--workers", type=int, default=16)
+    parser.add_argument("--clip", type=float, default=10.0)
+    parser.add_argument("--save-dir", default="snapshot")
+    parser.add_argument("--pretrained", default=None,
+                        help="checkpoint to warm-start from (.pth or .msgpack)")
+    parser.add_argument("--resume", default=None)
+    parser.add_argument("--log-interval", type=int, default=10)
+    parser.add_argument("--num-devices", type=int, default=None)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    log = logging.getLogger("train")
+
+    import jax
+    import jax.numpy as jnp
+
+    from siammask_tpu.config import Config
+    from siammask_tpu.data.dataset import DataLoader, PairDataset
+    from siammask_tpu.models.siammask import SiamMaskBase, SiamMaskSharp, SiamRPN
+    from siammask_tpu.parallel.mesh import data_parallel_mesh, shard_batch
+    from siammask_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from siammask_tpu.train.lr import build_lr_spaces
+    from siammask_tpu.train.trainer import (OptimizerConfig, Trainer,
+                                            TrainSettings)
+    from siammask_tpu.utils.torch_convert import load_torch_checkpoint
+
+    cfg = Config.load(args.config, clip=args.clip)
+
+    model_cls = {"siamrpn": SiamRPN, "base": SiamMaskBase,
+                 "sharp": SiamMaskSharp, "sharp_refine": SiamMaskSharp}[args.task]
+    model = model_cls(anchor_num=cfg.anchors.anchor_num)
+
+    train_cfg = cfg.train_datasets
+    search = train_cfg.get("search_size", 255)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 127, 127, 3)),
+                           jnp.zeros((1, search, search, 3)))
+    if args.pretrained:
+        if args.pretrained.endswith(".pth"):
+            variables = load_torch_checkpoint(args.pretrained)
+        else:
+            variables = load_checkpoint(args.pretrained)["variables"]
+
+    dataset = PairDataset(train_cfg, cfg.anchors, num_epoch=1)
+    loader = DataLoader(dataset, args.batch, num_workers=args.workers)
+    num_per_epoch = len(loader)
+
+    mesh = data_parallel_mesh(args.num_devices) if jax.device_count() > 1 else None
+
+    settings = TrainSettings(
+        task=args.task, loss_weight=cfg.loss_weight,
+        o_sz=63, g_sz=127,
+        mask_pad=0 if search < 255 else 32)
+    lr_spaces = build_lr_spaces(cfg.lr, args.epochs)
+    trainer = Trainer(model, variables, settings,
+                      OptimizerConfig.from_lr_cfg(cfg.lr, clip=args.clip),
+                      lr_spaces, epochs=args.epochs, mesh=mesh)
+
+    start_epoch = 0
+    if args.resume:
+        ck = load_checkpoint(args.resume)
+        trainer.variables = ck["variables"]
+        start_epoch = ck["epoch"]
+
+    step = start_epoch * num_per_epoch
+    t_last = time.time()
+    for epoch in range(start_epoch, args.epochs):
+        dataset.shuffle()
+        for batch in loader:
+            batch = shard_batch(mesh, batch) if mesh else \
+                jax.tree.map(jnp.asarray, batch)
+            metrics = trainer.step(batch, epoch)
+            step += 1
+            if step % args.log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = (time.time() - t_last) / args.log_interval
+                t_last = time.time()
+                log.info(f"epoch {epoch} step {step} "
+                         f"lr {lr_spaces[epoch]:.5f} "
+                         + " ".join(f"{k}={v:.4f}" for k, v in m.items())
+                         + f" ({dt:.2f}s/it)")
+        save_checkpoint(join(args.save_dir, f"checkpoint_e{epoch + 1}.msgpack"),
+                        trainer.variables, trainer.opt_state, epoch + 1,
+                        arch=cfg.arch, anchor_cfg=cfg.anchors.to_dict())
+        log.info(f"saved checkpoint_e{epoch + 1}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Hyperparameter grid search over tracker inference params (VOT or VOS).
+
+Mirrors `tools/tune_vot.py` / `tune_vos.py`: randomized grid over penalty_k x
+window_influence x lr x instance_size (+ seg_thr for VOS), with the reference's
+cooperative file-claim protocol — write an 'Occ' placeholder, skip existing
+results, honor a finish.flag poison pill — so N independent processes share one
+grid idempotently.
+"""
+import argparse
+import itertools
+import random
+import sys
+from os import makedirs
+from os.path import dirname, exists, isdir, join, realpath
+
+sys.path.insert(0, dirname(dirname(realpath(__file__))))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Tune SiamMask-TPU tracker hp")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--resume", default=None)
+    parser.add_argument("--dataset", default="VOT2018")
+    parser.add_argument("--data-dir", default="data")
+    parser.add_argument("--out-dir", default="tune")
+    parser.add_argument("--penalty-k", default="0.00,0.20,0.04")
+    parser.add_argument("--window-influence", default="0.36,0.51,0.03")
+    parser.add_argument("--lr", default="0.25,0.56,0.05")
+    parser.add_argument("--search-region", default="255,256,16")
+    parser.add_argument("--seg-thr", default="0.30,0.51,0.05",
+                        help="used for VOS datasets")
+    args = parser.parse_args()
+
+    from siammask_tpu.config import Config
+    from siammask_tpu.eval.datasets import load_dataset
+    from siammask_tpu.tracker.runtime import TrackerRuntime
+    from siammask_tpu.tracker.vos import track_vos
+    from siammask_tpu.tracker.vot import track_vot
+    from tools.test import build_model, load_variables
+
+    def parse_range(s):
+        lo, hi, step = map(float, s.split(","))
+        return np.arange(lo, hi, step).round(4).tolist()
+
+    vos = args.dataset.startswith("DAVIS") or args.dataset == "ytb_vos"
+    grid = list(itertools.product(
+        parse_range(args.penalty_k),
+        parse_range(args.window_influence),
+        parse_range(args.lr),
+        [int(x) for x in parse_range(args.search_region)],
+        parse_range(args.seg_thr) if vos else [None]))
+    random.shuffle(grid)
+
+    cfg = Config.load(args.config)
+    model = build_model(cfg.arch, cfg.anchors.anchor_num)
+    variables = load_variables(model, args.resume)
+    dataset = load_dataset(args.dataset, args.data_dir)
+
+    if not isdir(args.out_dir):
+        makedirs(args.out_dir)
+    finish_flag = join(args.out_dir, "finish.flag")
+
+    for pk, wi, lr, instance, thr in grid:
+        if exists(finish_flag):
+            print("finish.flag present — stopping")
+            return
+        tag = f"pk{pk}_wi{wi}_lr{lr}_in{instance}" + (f"_thr{thr}" if vos else "")
+        result_file = join(args.out_dir, tag + ".txt")
+        if exists(result_file):  # claimed or done
+            continue
+        with open(result_file, "w") as f:
+            f.write("Occ")  # cooperative claim
+
+        hp = dict(cfg.hp)
+        hp.update(penalty_k=pk, window_influence=wi, lr=lr,
+                  instance_size=instance)
+        if thr is not None:
+            hp["seg_thr"] = thr
+        p = cfg.tracker_config()
+        p.update(hp)
+        runtime = TrackerRuntime(model, variables, p, mask=True, refine=True)
+
+        if vos:
+            ious = []
+            for video in dataset.values():
+                iou, _ = track_vos(runtime, video,
+                                   mot_enable=args.dataset != "DAVIS2016",
+                                   log=lambda *_: None)
+                if len(iou) > 0:
+                    ious.append(np.mean(iou))
+            score = float(np.mean(ious))
+        else:
+            total_lost = 0
+            for video in dataset.values():
+                lost, _ = track_vot(runtime, video, dataset=args.dataset,
+                                    mask_enable=True, log=lambda *_: None)
+                total_lost += lost
+            score = -total_lost  # fewer losses is better
+
+        with open(result_file, "w") as f:
+            f.write(f"{tag} score {score}\n")
+        print(tag, "score", score)
+
+
+if __name__ == "__main__":
+    main()
