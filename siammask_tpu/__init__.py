@@ -15,4 +15,19 @@ Design stance (vs the PyTorch reference at /root/reference):
 
 __version__ = "0.1.0"
 
-from siammask_tpu import config  # noqa: F401
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: tracker/train programs are large and the TPU
+# toolchain here compiles remotely — caching across processes saves minutes per
+# run. Respect an existing setting (tests pin their own dir).
+if _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("SIAMMASK_TPU_CACHE",
+                        _os.path.expanduser("~/.cache/siammask_tpu_xla")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+from siammask_tpu import config  # noqa: F401,E402

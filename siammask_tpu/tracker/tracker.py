@@ -211,6 +211,29 @@ class Tracker:
     def step(self, variables, state: TrackState, frame):
         return self._step_jit(variables, state, frame)
 
+    # ---------------- batched multi-object (VOS) ----------------
+
+    def init_batched(self, variables, frame, target_pos, target_sz) -> TrackState:
+        """Init O independent object trackers on one frame: target_pos/target_sz
+        are (O, 2); returns a TrackState with leading object axis. The batched
+        template pass shares one backbone program across objects."""
+        if not hasattr(self, "_init_vmap"):
+            self._init_vmap = jax.jit(jax.vmap(self._init_impl,
+                                               in_axes=(None, None, 0, 0)))
+        return self._init_vmap(variables, frame,
+                               jnp.asarray(target_pos, jnp.float32),
+                               jnp.asarray(target_sz, jnp.float32))
+
+    def step_batched(self, variables, states: TrackState, frame):
+        """One frame for O objects at once — the batched-xcorr multi-template
+        configuration: backbone/heads run with batch=O on the MXU instead of O
+        sequential passes (the reference tracks objects sequentially,
+        tools/test.py:481-504)."""
+        if not hasattr(self, "_step_vmap"):
+            self._step_vmap = jax.jit(jax.vmap(self._step_impl,
+                                               in_axes=(None, 0, None)))
+        return self._step_vmap(variables, states, frame)
+
     # ---------------- whole-video scan ----------------
 
     @partial(jax.jit, static_argnums=(0,))

@@ -56,6 +56,84 @@ def multi_batch_iou(thrs, outputs, targets, start=None, end=None):
     return res
 
 
+def track_vos_batched(runtime, video: dict, mot_enable: bool = True,
+                      result_dir: str | None = None, dataset: str = "DAVIS2016",
+                      tracker_name: str = "SiamMask", save_mask: bool = False,
+                      log=print):
+    """Batched multi-object VOS: all objects advance together per frame via the
+    tracker's vmapped step (one backbone pass with batch=O). Only valid when all
+    objects span the whole video (DAVIS); falls back to the sequential path
+    otherwise (YouTube-VOS per-object start/end frames)."""
+    import jax.numpy as jnp
+
+    if "start_frame" in video:
+        return track_vos(runtime, video, mot_enable, result_dir, dataset,
+                         tracker_name, save_mask, log)
+
+    image_files = video["image_files"]
+    annos = [np.array(Image.open(x)) for x in video["anno_files"]]
+    if not mot_enable:
+        annos = [(a > 0).astype(np.uint8) for a in annos]
+    anno_init = annos[0]
+    object_ids = [int(o) for o in np.unique(anno_init) if o != 0]
+    object_num = len(object_ids)
+
+    pos0, sz0 = [], []
+    for o_id in object_ids:
+        x, y, bw, bh = cv2.boundingRect((anno_init == o_id).astype(np.uint8))
+        pos0.append([x + bw / 2, y + bh / 2])
+        sz0.append([bw, bh])
+
+    tracker = runtime.tracker
+    variables = runtime.variables
+    toc = 0.0
+    tic = time.perf_counter()
+    frame0 = jnp.asarray(cv2.imread(image_files[0]), jnp.float32)
+    states = tracker.init_batched(variables, frame0, np.array(pos0),
+                                  np.array(sz0))
+    toc += time.perf_counter() - tic
+
+    h, w = anno_init.shape
+    pred_masks = np.full((object_num, len(image_files), h, w), -1.0,
+                         dtype=np.float32)
+    for o in range(object_num):
+        pred_masks[o, 0] = (anno_init == object_ids[o]).astype(np.float32)
+
+    for f in range(1, len(image_files)):
+        im = cv2.imread(image_files[f])
+        tic = time.perf_counter()
+        states, outs = tracker.step_batched(variables, states,
+                                            jnp.asarray(im, jnp.float32))
+        masks = np.asarray(outs.mask_in_frame)
+        toc += time.perf_counter() - tic
+        pred_masks[:, f] = masks
+
+    if len(annos) == len(image_files):
+        multi_mean_iou = multi_batch_iou(THRS, pred_masks, annos)
+        for i in range(object_num):
+            for j, thr in enumerate(THRS):
+                log(f"Fusion Multi Object {video['name']}_{i + 1:d} "
+                    f"IOU at {thr:.2f}: {multi_mean_iou[i, j]:.4f}")
+    else:
+        multi_mean_iou = []
+
+    if save_mask and result_dir is not None:
+        video_path = join(result_dir, dataset, tracker_name, video["name"])
+        if not isdir(video_path):
+            makedirs(video_path)
+        fused = (np.argmax(pred_masks, axis=0).astype("uint8") + 1) * \
+            (np.max(pred_masks, axis=0) > runtime.p.seg_thr).astype("uint8")
+        for i in range(fused.shape[0]):
+            name = image_files[i].split("/")[-1].split(".")[0] + ".png"
+            cv2.imwrite(join(video_path, name), fused[i])
+
+    n_steps = (len(image_files) - 1) * object_num
+    fps = n_steps / max(toc, 1e-9)
+    log(f"Video: {video['name']:12s} Time: {toc:4.1f}s Speed: {fps:5.1f}fps "
+        f"(batched x{object_num})")
+    return multi_mean_iou, fps
+
+
 def track_vos(runtime, video: dict, mot_enable: bool = True,
               result_dir: str | None = None, dataset: str = "DAVIS2016",
               tracker_name: str = "SiamMask", save_mask: bool = False,

@@ -130,3 +130,12 @@ def test_warp_back_matches_cv2():
     # cv2 uses fixed-point bilinear (5-bit fractional) — tolerance accounts for it
     np.testing.assert_allclose(ours, ref, atol=1e-1)
     assert np.mean(np.abs(ours - ref)) < 2e-2
+
+
+def test_depthwise_xcorr_pallas_matches_mm():
+    from siammask_tpu.ops.xcorr_pallas import depthwise_xcorr_pallas
+    x = jnp.asarray(RNG.randn(2, 29, 29, 256), jnp.float32)
+    k = jnp.asarray(RNG.randn(2, 5, 5, 256), jnp.float32)
+    ref = depthwise_xcorr_mm(x, k)
+    out = depthwise_xcorr_pallas(x, k, interpret=True)  # interpret: CPU host
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

@@ -51,6 +51,8 @@ def main():
     parser.add_argument("--data-dir", default="data")
     parser.add_argument("--video", default="", help="run one video only")
     parser.add_argument("--save_mask", action="store_true")
+    parser.add_argument("--no-batch", action="store_true",
+                        help="disable the batched multi-object VOS path")
     parser.add_argument("--result-dir", default="test")
     parser.add_argument("--tracker-name", default=None)
     args = parser.parse_args()
@@ -58,7 +60,7 @@ def main():
     from siammask_tpu.config import Config
     from siammask_tpu.eval.datasets import load_dataset
     from siammask_tpu.tracker.runtime import TrackerRuntime
-    from siammask_tpu.tracker.vos import track_vos
+    from siammask_tpu.tracker.vos import track_vos, track_vos_batched
     from siammask_tpu.tracker.vot import track_vot
 
     cfg = Config.load(args.config)
@@ -84,7 +86,8 @@ def main():
     speeds = []
     for v_id, video in enumerate(dataset.values(), 1):
         if vos_enable:
-            iou, fps = track_vos(
+            vos_fn = track_vos if args.no_batch else track_vos_batched
+            iou, fps = vos_fn(
                 runtime, video,
                 mot_enable=args.dataset in ("DAVIS2017", "ytb_vos"),
                 result_dir=args.result_dir, dataset=args.dataset,

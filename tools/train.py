@@ -34,6 +34,9 @@ def main():
     parser.add_argument("--resume", default=None)
     parser.add_argument("--log-interval", type=int, default=10)
     parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument("--tb-dir", default=None,
+                        help="TensorBoard log dir (loss/cls, loss/loc, loss/mask, "
+                             "mask IoU metrics, lr — as the reference logs)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO,
@@ -91,6 +94,11 @@ def main():
         trainer.variables = ck["variables"]
         start_epoch = ck["epoch"]
 
+    tb = None
+    if args.tb_dir:
+        from tensorboardX import SummaryWriter
+        tb = SummaryWriter(args.tb_dir)
+
     step = start_epoch * num_per_epoch
     t_last = time.time()
     for epoch in range(start_epoch, args.epochs):
@@ -102,6 +110,14 @@ def main():
             step += 1
             if step % args.log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
+                if tb is not None:
+                    tb.add_scalar("loss/cls", m.get("cls_loss", 0), step)
+                    tb.add_scalar("loss/loc", m.get("loc_loss", 0), step)
+                    tb.add_scalar("loss/mask", m.get("mask_loss", 0), step)
+                    tb.add_scalar("mask/mIoU", m.get("iou_mean", 0), step)
+                    tb.add_scalar("mask/AP@.5", m.get("iou_at_5", 0), step)
+                    tb.add_scalar("mask/AP@.7", m.get("iou_at_7", 0), step)
+                    tb.add_scalar("lr", float(lr_spaces[epoch]), step)
                 dt = (time.time() - t_last) / args.log_interval
                 t_last = time.time()
                 log.info(f"epoch {epoch} step {step} "
