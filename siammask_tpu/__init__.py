@@ -19,10 +19,12 @@ import os as _os
 
 import jax as _jax
 
-# Persistent XLA compilation cache: tracker/train programs are large and the TPU
-# toolchain here compiles remotely — caching across processes saves minutes per
-# run. Respect an existing setting (tests pin their own dir).
-if _jax.config.jax_compilation_cache_dir is None:
+# Persistent XLA compilation cache (CPU only): the CPU test/dev host has one
+# core and compiles large graphs slowly — cache across processes. The TPU path
+# here compiles through a remote service that does not interoperate with the
+# on-disk cache, so leave it untouched there.
+if (_jax.config.jax_compilation_cache_dir is None
+        and (_os.environ.get("JAX_PLATFORMS") or "cpu") == "cpu"):
     _jax.config.update(
         "jax_compilation_cache_dir",
         _os.environ.get("SIAMMASK_TPU_CACHE",

@@ -135,6 +135,54 @@ def gen_json_det(det_root: str, out_file: str | None = None):
     return snippets
 
 
+def parse_ytb_vos(data_dir: str, out_file: str | None = None):
+    """Raw YouTube-VOS annotations -> instances json consumed by
+    ``gen_json_ytb_vos`` (data/ytb_vos/parse_ytb_vos.py): per-video, per-object
+    frame entries with pixel-count-filtered tight boxes from mask contours."""
+    import cv2
+
+    ann_dir = join(data_dir, "train", "Annotations")
+    with open(join(data_dir, "train", "meta.json")) as f:
+        meta = json.load(f)["videos"]
+
+    ann_dict = {}
+    for video, v in meta.items():
+        frames = sorted({f for obj in v["objects"].values()
+                         for f in obj["frames"]})
+        video_ann: dict[str, list] = {}
+        for frame in frames:
+            img = cv2.imread(join(ann_dir, video, frame + ".png"), 0)
+            if img is None:
+                continue
+            h, w = img.shape[:2]
+            for inst_id in np.unique(img):
+                if inst_id == 0:
+                    continue
+                mask = (img == inst_id).astype(np.uint8)
+                pixel_count = int(mask.sum())
+                contours, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL,
+                                               cv2.CHAIN_APPROX_NONE)
+                polys = [c.reshape(-1).tolist() for c in contours]
+                polys = [p for p in polys if len(p) > 4]
+                if not polys or pixel_count <= 1000:
+                    continue
+                x0 = min(min(p[0::2]) for p in polys)
+                x1 = max(max(p[0::2]) for p in polys)
+                y0 = min(min(p[1::2]) for p in polys)
+                y1 = max(max(p[1::2]) for p in polys)
+                video_ann.setdefault(str(int(inst_id)), []).append({
+                    "h": h, "w": w,
+                    "file_name": join(video, frame),
+                    "id": int(inst_id),
+                    "area": pixel_count,
+                    "bbox": [x0, y0, x1 - x0 + 1, y1 - y0 + 1],
+                })
+        ann_dict[video] = video_ann
+    if out_file:
+        json.dump(ann_dict, open(out_file, "w"))
+    return ann_dict
+
+
 def create_vot_json(vot_root: str, dataset_name: str,
                     out_file: str | None = None):
     """Build the eval-toolkit VOT<year>.json metadata from a VOT dataset dir

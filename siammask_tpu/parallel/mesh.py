@@ -9,9 +9,31 @@ batch. Multi-host extends the same mesh over DCN via `jax.distributed`.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> int:
+    """Initialize multi-host JAX (the DCN leg of a multi-slice mesh).
+
+    The reference's only multi-node touchpoint is rank-aware logging via
+    SLURM_PROCID (`utils/log_helper.py:42-51`); here the same environment drives
+    a real `jax.distributed.initialize`, after which `data_parallel_mesh()` spans
+    every process's devices and per-host input sharding feeds the global batch.
+    Returns this process's index."""
+    if num_processes is None and "SLURM_NTASKS" in os.environ:
+        num_processes = int(os.environ["SLURM_NTASKS"])
+        process_id = int(os.environ.get("SLURM_PROCID", 0))
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_index()
 
 
 def data_parallel_mesh(n_devices: int | None = None) -> Mesh:
