@@ -7,6 +7,7 @@ frame — the same work the reference counts in its 56 FPS mask+refine number
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
+import argparse
 import json
 import time
 
@@ -19,6 +20,11 @@ BASELINE_FPS = 56.0  # reference SiamMask (mask+refine) on RTX 2080
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--profile-dir", default=None,
+                        help="write a jax.profiler trace of the timed loop here")
+    parser.add_argument("--iters", type=int, default=100)
+    args = parser.parse_args()
     from siammask_tpu.config import TrackerConfig
     from siammask_tpu.models.siammask import SiamMaskSharp
     from siammask_tpu.tracker.tracker import Tracker
@@ -44,13 +50,17 @@ def main():
     state2, out = tracker.step(variables, state, frame)
     jax.block_until_ready(out.mask_in_frame)
 
-    iters = 100
+    iters = args.iters
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     t0 = time.perf_counter()
     st = state
     for _ in range(iters):
         st, out = tracker.step(variables, st, frame)
     jax.block_until_ready(out.mask_in_frame)
     dt = time.perf_counter() - t0
+    if args.profile_dir:
+        jax.profiler.stop_trace()
     fps = iters / dt
 
     print(json.dumps({

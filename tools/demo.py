@@ -24,6 +24,8 @@ def main():
     parser.add_argument("--box", default="300,110,165,250",
                         help="x,y,w,h init box (frame 0)")
     parser.add_argument("--out-dir", default=None, help="write overlays here")
+    parser.add_argument("--box-only", action="store_true",
+                        help="SiamRPN path: no mask branch")
     args = parser.parse_args()
 
     from siammask_tpu.config import Config
@@ -34,7 +36,7 @@ def main():
     model = build_model(cfg.arch, cfg.anchors.anchor_num)
     variables = load_variables(model, args.resume)
     runtime = TrackerRuntime(model, variables, cfg.tracker_config(),
-                             mask=True, refine=True)
+                             mask=not args.box_only, refine=not args.box_only)
 
     img_files = sorted(glob(join(args.base_path, "*.jp*")))
     ims = [cv2.imread(f) for f in img_files]
@@ -52,11 +54,18 @@ def main():
         if args.out_dir and f > 0:
             if not isdir(args.out_dir):
                 makedirs(args.out_dir)
-            mask = out["mask"] > runtime.p.seg_thr
             im_show = im.copy()
-            im_show[:, :, 2] = mask * 255 + (1 - mask) * im_show[:, :, 2]
-            cv2.polylines(im_show, [np.intp(out["polygon"]).reshape(-1, 1, 2)],
-                          True, (0, 255, 0), 3)
+            if "mask" in out:
+                mask = out["mask"] > runtime.p.seg_thr
+                im_show[:, :, 2] = mask * 255 + (1 - mask) * im_show[:, :, 2]
+                cv2.polylines(im_show,
+                              [np.intp(out["polygon"]).reshape(-1, 1, 2)],
+                              True, (0, 255, 0), 3)
+            else:
+                x0, y0 = out["target_pos"] - out["target_sz"] / 2
+                x1, y1 = out["target_pos"] + out["target_sz"] / 2
+                cv2.rectangle(im_show, (int(x0), int(y0)), (int(x1), int(y1)),
+                              (0, 255, 0), 3)
             cv2.imwrite(join(args.out_dir, f"{f:05d}.jpg"), im_show)
 
     print(f"SiamMask-TPU demo: {len(ims)} frames in {toc:.1f}s "

@@ -46,6 +46,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # env capture (the reference logs get_pretty_env_info at startup)
+    log.info(f"jax {jax.__version__} backend {jax.default_backend()} "
+             f"devices {jax.devices()} process {jax.process_index()}")
+
     from siammask_tpu.config import Config
     from siammask_tpu.data.dataset import DataLoader, PairDataset
     from siammask_tpu.models.siammask import SiamMaskBase, SiamMaskSharp, SiamRPN
