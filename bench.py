@@ -24,6 +24,8 @@ def main():
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace of the timed loop here")
     parser.add_argument("--iters", type=int, default=100)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (params stay fp32)")
     args = parser.parse_args()
     from siammask_tpu.config import TrackerConfig
     from siammask_tpu.models.siammask import SiamMaskSharp
@@ -33,7 +35,7 @@ def main():
           "seg_thr": 0.35, "penalty_k": 0.04, "window_influence": 0.4, "lr": 1.0}
     p = TrackerConfig().update(hp)
 
-    model = SiamMaskSharp()
+    model = SiamMaskSharp(dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     rng = np.random.RandomState(0)
     z = jnp.zeros((1, 127, 127, 3), jnp.float32)
     x = jnp.zeros((1, 255, 255, 3), jnp.float32)

@@ -248,3 +248,22 @@ class Tracker:
         """frames: (T, H, W, 3) stacked on device. Returns (final_state, outputs)
         where outputs are stacked StepOutputs — zero host round-trips per frame."""
         return self._scan_jit(variables, state, frames)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _scan_multi_jit(self, variables, states, frames):
+        step = jax.vmap(self._step_impl, in_axes=(None, 0, None))
+
+        def body(st, frame):
+            st, out = step(variables, st, frame)
+            return st, out
+
+        return jax.lax.scan(body, states, frames)
+
+    def track_video_multi(self, variables, states: TrackState, frames):
+        """Whole-video multi-object segmentation as ONE device program:
+        ``lax.scan`` over frames of the object-vmapped step. states carries a
+        leading object axis (from init_batched); outputs stack as (T, O, ...).
+        This is the production path for DAVIS-style eval — every frame runs all
+        templates through one batched backbone/xcorr pass, and the host only
+        sees the final stacked masks."""
+        return self._scan_multi_jit(variables, states, frames)
