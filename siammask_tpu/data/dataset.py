@@ -441,7 +441,15 @@ class DataLoader:
     def __len__(self):
         return self.num_batches
 
+    def _indices(self, b):
+        return range(b * self.batch_size,
+                     min((b + 1) * self.batch_size, len(self.dataset)))
+
     def __iter__(self):
+        if self.num_workers <= 0:  # synchronous (reference num_workers=0 mode)
+            for b in range(self.num_batches):
+                yield collate([self.dataset[i] for i in self._indices(b)])
+            return
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:

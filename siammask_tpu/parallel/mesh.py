@@ -36,6 +36,37 @@ def init_multihost(coordinator_address: str | None = None,
     return jax.process_index()
 
 
+def force_platform(platform: str, n_devices: int | None = None) -> bool:
+    """Redirect JAX to ``platform`` before the backend is initialized.
+
+    On hosts where a sitecustomize pre-imports jax with a pinned platform
+    (e.g. the 1-chip axon TPU tunnel), the JAX_PLATFORMS env var set at launch
+    is too late; the platform must be overridden via jax.config BEFORE first
+    backend use. For ``platform="cpu"`` with ``n_devices``, also requests that
+    many virtual host devices so a data-parallel mesh can be exercised without
+    real chips. Returns True if the override took effect, False if the backend
+    was already up (in which case the current platform stays)."""
+    try:
+        from jax._src import xla_bridge
+        if xla_bridge._backends:
+            return False
+    except Exception:
+        pass
+    if platform == "cpu" and n_devices and n_devices > 1:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_devices}"
+            ).strip()
+        # stagger-tolerant collectives on few-core hosts (validation mode)
+        if "xla_cpu_collective_call_terminate_timeout_seconds" not in \
+                os.environ["XLA_FLAGS"]:
+            os.environ["XLA_FLAGS"] += \
+                " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+    jax.config.update("jax_platforms", platform)
+    return True
+
+
 def data_parallel_mesh(n_devices: int | None = None) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:

@@ -20,8 +20,9 @@ from siammask_tpu.utils.bbox import cxy_wh_2_rect
 def mask_to_rotated_box(target_mask: np.ndarray, target_pos, target_sz):
     """Largest-contour minAreaRect polygon; falls back to the axis-aligned box
     from the box branch when the mask is empty (test.py:284-303)."""
-    contours, _ = cv2.findContours(target_mask.astype(np.uint8),
-                                   cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)
+    # [-2] is the contour list under both the 2- and 3-tuple cv2 APIs
+    contours = cv2.findContours(target_mask.astype(np.uint8),
+                                cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)[-2]
     cnt_area = [cv2.contourArea(cnt) for cnt in contours]
     if len(contours) != 0 and np.max(cnt_area) > 100:
         contour = contours[int(np.argmax(cnt_area))]

@@ -140,9 +140,19 @@ class TrainSettings:
 
 
 def make_train_step(model, settings: TrainSettings, tx, mesh=None,
-                    unfreeze_backbone: bool = False) -> Callable:
+                    unfreeze_backbone: bool = False,
+                    fused_allreduce: bool = False) -> Callable:
     """Returns jitted step(variables, opt_state, batch, lr) ->
-    (variables, opt_state, metrics)."""
+    (variables, opt_state, metrics).
+
+    ``fused_allreduce`` switches the data-parallel gradient exchange from
+    XLA-auto-inserted per-tensor psums (exact global reductions; the default) to
+    an explicit shard_map with ALL gradients flattened into one bucket and a
+    single pmean — one collective per step instead of one per parameter tensor
+    (gradient bucketing, the production scale-out layout). BN normalizes over
+    the LOCAL shard batch (local-BN; running stats pmean'd across the mesh),
+    whereas the auto-psum path normalizes globally — losses/grads agree to ~1%
+    at small per-shard batch and converge as local batch grows."""
     w_cls, w_loc, w_mask = settings.loss_weight
     train_layers = (unfreeze_backbone, unfreeze_backbone)
 
@@ -207,10 +217,54 @@ def make_train_step(model, settings: TrainSettings, tx, mesh=None,
         return ({"params": new_params, "batch_stats": new_stats},
                 new_opt_state, metrics)
 
+    def step_fused(variables, opt_state, batch, lr):
+        """Gradient-bucketed dp step: shard_map over 'data', one fused pmean."""
+        try:
+            from jax import shard_map
+        except ImportError:  # jax < 0.6
+            from jax.experimental.shard_map import shard_map
+        from jax.flatten_util import ravel_pytree
+        from jax.sharding import PartitionSpec as P
+
+        params = variables["params"]
+        _, unravel = ravel_pytree(params)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(), P("data")),
+                 out_specs=(P(), P(), P()))
+        def grads_shard(params, stats, local_batch):
+            (loss, (new_stats, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, stats, local_batch)
+            flat = ravel_pytree(grads)[0]
+            flat = jax.lax.pmean(flat, "data")          # the ONE collective
+            new_stats = jax.tree.map(lambda x: jax.lax.pmean(x, "data"),
+                                     new_stats)
+            metrics = jax.tree.map(lambda x: jax.lax.pmean(x, "data"), metrics)
+            return flat, new_stats, metrics
+
+        flat_grads, new_stats, metrics = grads_shard(
+            params, variables["batch_stats"], batch)
+        grads = unravel(flat_grads)
+
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        new_params = optax.apply_updates(params, updates)
+
+        loss = metrics["total_loss"]
+        ok = jnp.isfinite(loss) & (jnp.abs(loss) <= 1e4)
+        pick = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(ok, n, o), new, old)
+        new_params = pick(new_params, params)
+        new_opt_state = pick(new_opt_state, opt_state)
+        new_stats = pick(new_stats, variables["batch_stats"])
+        metrics["skipped"] = (~ok).astype(jnp.float32)
+        return ({"params": new_params, "batch_stats": new_stats},
+                new_opt_state, metrics)
+
     if mesh is not None:
         bspec = batch_sharding(mesh)
         rspec = replicated(mesh)
-        return jax.jit(step,
+        return jax.jit(step_fused if fused_allreduce else step,
                        in_shardings=(rspec, rspec, bspec, rspec),
                        out_shardings=(rspec, rspec, rspec))
     return jax.jit(step)
@@ -227,7 +281,8 @@ class Trainer:
 
     def __init__(self, model, variables, settings: TrainSettings,
                  opt_cfg: OptimizerConfig, lr_spaces: np.ndarray,
-                 epochs: int, mesh=None, unfreeze_at: float = 0.5):
+                 epochs: int, mesh=None, unfreeze_at: float = 0.5,
+                 fused_allreduce: bool = False):
         self.model = model
         self.variables = variables
         self.settings = settings
@@ -236,6 +291,7 @@ class Trainer:
         self.epochs = epochs
         self.mesh = mesh
         self.unfreeze_at = unfreeze_at
+        self.fused_allreduce = fused_allreduce and mesh is not None
         self._unfrozen = None
         self._step_fn = None
         self.opt_state = None
@@ -254,7 +310,8 @@ class Trainer:
         self.opt_state = tx.init(self.variables["params"])
         self._step_fn = make_train_step(self.model, self.settings, tx,
                                         mesh=self.mesh,
-                                        unfreeze_backbone=unfrozen)
+                                        unfreeze_backbone=unfrozen,
+                                        fused_allreduce=self.fused_allreduce)
 
     def step(self, batch: dict, epoch: int):
         self._ensure_phase(epoch)

@@ -70,6 +70,7 @@ def ref_env(reference_path):
         net.rpn_model.loc.head[3].weight *= 1e-7
         net.rpn_model.loc.head[3].bias *= 1e-7
     yield ref_test, net
+    cv2.findContours = _orig_find  # un-leak the 3-tuple shim
     for p in paths:
         sys.path.remove(p)
 

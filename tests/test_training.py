@@ -22,17 +22,18 @@ from tests._tiny_model import TinySiamMask
 RNG = np.random.RandomState(5)
 
 
-def tiny_batch(b=2, search=143, size=3):
+def tiny_batch(b=2, search=143, size=3, rng=None):
     k = 5
+    rng = RNG if rng is None else rng
     return {
-        "template": RNG.uniform(0, 255, (b, 127, 127, 3)).astype(np.float32),
-        "search": RNG.uniform(0, 255, (b, search, search, 3)).astype(np.float32),
-        "label_cls": RNG.choice([-1, 0, 1], size=(b, k, size, size),
+        "template": rng.uniform(0, 255, (b, 127, 127, 3)).astype(np.float32),
+        "search": rng.uniform(0, 255, (b, search, search, 3)).astype(np.float32),
+        "label_cls": rng.choice([-1, 0, 1], size=(b, k, size, size),
                                 p=[0.7, 0.2, 0.1]).astype(np.int64),
-        "label_loc": RNG.randn(b, 4, k, size, size).astype(np.float32) * 0.1,
-        "label_loc_weight": (RNG.rand(b, k, size, size) < 0.2).astype(np.float32),
-        "label_mask": np.sign(RNG.randn(b, search, search)).astype(np.float32),
-        "label_mask_weight": (RNG.rand(b, size, size) < 0.3).astype(np.float32),
+        "label_loc": rng.randn(b, 4, k, size, size).astype(np.float32) * 0.1,
+        "label_loc_weight": (rng.rand(b, k, size, size) < 0.2).astype(np.float32),
+        "label_mask": np.sign(rng.randn(b, search, search)).astype(np.float32),
+        "label_mask_weight": (rng.rand(b, size, size) < 0.3).astype(np.float32),
     }
 
 
@@ -173,3 +174,36 @@ def test_data_parallel_matches_single_device(tiny_setup):
     np.testing.assert_allclose(np.asarray(v_mesh["params"]["rpn"]["cls"]["kernel"]),
                                np.asarray(v_one["params"]["rpn"]["cls"]["kernel"]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_fused_allreduce_matches_plain(tiny_setup):
+    """Gradient-bucketed shard_map step ~= auto-psum step (same batch)."""
+    model, variables = tiny_setup
+    mesh = data_parallel_mesh()
+    settings = TrainSettings(task="sharp", mask_pad=0)
+    tx, _ = build_optimizer(variables["params"], OptimizerConfig(),
+                            unfreeze_backbone=False)
+    opt_state = tx.init(variables["params"])
+    host_batch = tiny_batch(b=8, rng=np.random.RandomState(17))
+
+    step_plain = make_train_step(model, settings, tx, mesh=mesh)
+    step_fused = make_train_step(model, settings, tx, mesh=mesh,
+                                 fused_allreduce=True)
+    v_p, _, m_p = step_plain(variables, opt_state,
+                             shard_batch(mesh, host_batch), jnp.float32(0.01))
+    v_f, _, m_f = step_fused(variables, opt_state,
+                             shard_batch(mesh, host_batch), jnp.float32(0.01))
+    # The fused path has DDP semantics — BN over the LOCAL shard batch (here 1
+    # sample/shard, the worst case) and per-replica-mean loss weighting — while
+    # the auto-psum path normalizes over the global batch and by global
+    # pos/neg counts. Losses agree loosely; the update direction must agree.
+    np.testing.assert_allclose(float(m_f["loc_loss"]), float(m_p["loc_loss"]),
+                               rtol=0.2)
+    np.testing.assert_allclose(float(m_f["total_loss"]), float(m_p["total_loss"]),
+                               rtol=0.2)
+    du_f = (np.asarray(v_f["params"]["rpn"]["loc"]["kernel"]) -
+            np.asarray(variables["params"]["rpn"]["loc"]["kernel"])).ravel()
+    du_p = (np.asarray(v_p["params"]["rpn"]["loc"]["kernel"]) -
+            np.asarray(variables["params"]["rpn"]["loc"]["kernel"])).ravel()
+    cos = du_f @ du_p / (np.linalg.norm(du_f) * np.linalg.norm(du_p) + 1e-12)
+    assert cos > 0.98, f"update direction diverged: cos={cos:.4f}"

@@ -26,7 +26,13 @@ def main():
     parser.add_argument("--out-dir", default=None, help="write overlays here")
     parser.add_argument("--box-only", action="store_true",
                         help="SiamRPN path: no mask branch")
+    parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                        help="force the JAX backend")
     args = parser.parse_args()
+
+    if args.platform:
+        from siammask_tpu.parallel.mesh import force_platform
+        force_platform(args.platform)
 
     from siammask_tpu.config import Config
     from siammask_tpu.tracker.runtime import TrackerRuntime

@@ -55,7 +55,14 @@ def main():
                         help="disable the batched multi-object VOS path")
     parser.add_argument("--result-dir", default="test")
     parser.add_argument("--tracker-name", default=None)
+    parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                        help="force the JAX backend (the reference's --cpu flag "
+                             "analogue; overrides any sitecustomize pin)")
     args = parser.parse_args()
+
+    if args.platform:
+        from siammask_tpu.parallel.mesh import force_platform
+        force_platform(args.platform)
 
     from siammask_tpu.config import Config
     from siammask_tpu.eval.datasets import load_dataset

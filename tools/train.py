@@ -34,6 +34,18 @@ def main():
     parser.add_argument("--resume", default=None)
     parser.add_argument("--log-interval", type=int, default=10)
     parser.add_argument("--num-devices", type=int, default=None)
+    parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                        help="force the JAX backend (overrides any sitecustomize"
+                             " pin); cpu + --num-devices N gives N virtual "
+                             "devices for mesh validation without chips")
+    parser.add_argument("--unfreeze-at", type=float, default=0.5,
+                        help="training-progress fraction at which backbone "
+                             "layer2/3 unfreeze (reference change_point 0.5, "
+                             "experiments/siammask_sharp/custom.py:39)")
+    parser.add_argument("--fused-allreduce", action="store_true",
+                        help="bucket all gradients into one pmean per step "
+                             "(shard_map DP with local-BN, DDP-style) instead "
+                             "of XLA auto-inserted per-tensor collectives")
     parser.add_argument("--tb-dir", default=None,
                         help="TensorBoard log dir (loss/cls, loss/loc, loss/mask, "
                              "mask IoU metrics, lr — as the reference logs)")
@@ -45,6 +57,11 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    if args.platform:
+        from siammask_tpu.parallel.mesh import force_platform
+        if not force_platform(args.platform, args.num_devices):
+            log.warning("backend already initialized; --platform ignored")
 
     # env capture (the reference logs get_pretty_env_info at startup)
     log.info(f"jax {jax.__version__} backend {jax.default_backend()} "
@@ -90,7 +107,9 @@ def main():
     lr_spaces = build_lr_spaces(cfg.lr, args.epochs)
     trainer = Trainer(model, variables, settings,
                       OptimizerConfig.from_lr_cfg(cfg.lr, clip=args.clip),
-                      lr_spaces, epochs=args.epochs, mesh=mesh)
+                      lr_spaces, epochs=args.epochs, mesh=mesh,
+                      unfreeze_at=args.unfreeze_at,
+                      fused_allreduce=args.fused_allreduce)
 
     start_epoch = 0
     if args.resume:

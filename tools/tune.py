@@ -31,7 +31,13 @@ def main():
     parser.add_argument("--search-region", default="255,256,16")
     parser.add_argument("--seg-thr", default="0.30,0.51,0.05",
                         help="used for VOS datasets")
+    parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                        help="force the JAX backend")
     args = parser.parse_args()
+
+    if args.platform:
+        from siammask_tpu.parallel.mesh import force_platform
+        force_platform(args.platform)
 
     from siammask_tpu.config import Config
     from siammask_tpu.eval.datasets import load_dataset
