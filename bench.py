@@ -26,6 +26,12 @@ def main():
     parser.add_argument("--iters", type=int, default=100)
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (params stay fp32)")
+    parser.add_argument("--xcorr", default="mm", choices=["mm", "conv", "pallas"],
+                        help="depthwise-xcorr lowering (ops/xcorr.py)")
+    parser.add_argument("--streams", type=int, default=1,
+                        help="N independent tracking streams stepped as one "
+                             "batched program (serving throughput mode); "
+                             "reports aggregate frames/s")
     args = parser.parse_args()
     from siammask_tpu.config import TrackerConfig
     from siammask_tpu.models.siammask import SiamMaskSharp
@@ -35,7 +41,8 @@ def main():
           "seg_thr": 0.35, "penalty_k": 0.04, "window_influence": 0.4, "lr": 1.0}
     p = TrackerConfig().update(hp)
 
-    model = SiamMaskSharp(dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    model = SiamMaskSharp(dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                          xcorr_impl=args.xcorr)
     rng = np.random.RandomState(0)
     z = jnp.zeros((1, 127, 127, 3), jnp.float32)
     x = jnp.zeros((1, 255, 255, 3), jnp.float32)
@@ -45,11 +52,20 @@ def main():
 
     im_h, im_w = 480, 854  # DAVIS frame geometry
     frame = jnp.asarray(rng.uniform(0, 255, (im_h, im_w, 3)), jnp.float32)
-    state = tracker.init(variables, frame,
-                         np.array([427.0, 240.0]), np.array([120.0, 160.0]))
+
+    if args.streams > 1:
+        n = args.streams
+        pos = rng.uniform(100, 400, (n, 2)).astype(np.float32)
+        sz = rng.uniform(60, 200, (n, 2)).astype(np.float32)
+        state = tracker.init_batched(variables, frame, pos, sz)
+        step = lambda st: tracker.step_batched(variables, st, frame)
+    else:
+        state = tracker.init(variables, frame,
+                             np.array([427.0, 240.0]), np.array([120.0, 160.0]))
+        step = lambda st: tracker.step(variables, st, frame)
 
     # warmup / compile
-    state2, out = tracker.step(variables, state, frame)
+    state2, out = step(state)
     jax.block_until_ready(out.mask_in_frame)
 
     iters = args.iters
@@ -58,15 +74,17 @@ def main():
     t0 = time.perf_counter()
     st = state
     for _ in range(iters):
-        st, out = tracker.step(variables, st, frame)
+        st, out = step(st)
     jax.block_until_ready(out.mask_in_frame)
     dt = time.perf_counter() - t0
     if args.profile_dir:
         jax.profiler.stop_trace()
-    fps = iters / dt
+    fps = iters * args.streams / dt
 
+    metric = ("siammask_sharp_track_step_fps_per_chip" if args.streams == 1 else
+              f"siammask_sharp_track_aggregate_fps_{args.streams}streams")
     print(json.dumps({
-        "metric": "siammask_sharp_track_step_fps_per_chip",
+        "metric": metric,
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

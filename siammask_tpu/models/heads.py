@@ -93,13 +93,16 @@ class UP(nn.Module):
     """RPN heads: cls -> 2k channels, loc -> 4k channels."""
     anchor_num: int = 5
     feature_out: int = 256
+    xcorr_impl: str = "mm"
     dtype: Any = jnp.float32
 
     def setup(self):
         self.cls = DepthCorr(self.feature_out, 2 * self.anchor_num,
-                             dtype=self.dtype, name="cls")
+                             xcorr_impl=self.xcorr_impl, dtype=self.dtype,
+                             name="cls")
         self.loc = DepthCorr(self.feature_out, 4 * self.anchor_num,
-                             dtype=self.dtype, name="loc")
+                             xcorr_impl=self.xcorr_impl, dtype=self.dtype,
+                             name="loc")
 
     def __call__(self, z_f, x_f, train: bool = False):
         return self.cls(z_f, x_f, train), self.loc(z_f, x_f, train)
@@ -108,10 +111,12 @@ class UP(nn.Module):
 class MaskCorr(nn.Module):
     """Mask head: each score-map cell predicts a flattened o_sz x o_sz mask."""
     o_sz: int = 63
+    xcorr_impl: str = "mm"
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.mask = DepthCorr(256, self.o_sz ** 2, dtype=self.dtype, name="mask")
+        self.mask = DepthCorr(256, self.o_sz ** 2, xcorr_impl=self.xcorr_impl,
+                              dtype=self.dtype, name="mask")
 
     def __call__(self, z_f, x_f, train: bool = False):
         return self.mask(z_f, x_f, train)

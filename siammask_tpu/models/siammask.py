@@ -42,12 +42,14 @@ class TrackOutputs(NamedTuple):
 class SiamRPN(nn.Module):
     """Box-only tracker: backbone + neck + RPN heads (models/siamrpn.py)."""
     anchor_num: int = 5
+    xcorr_impl: str = "mm"
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet50Tracking(dtype=self.dtype, name="backbone")
         self.neck = ResDownS(256, dtype=self.dtype, name="neck")
-        self.rpn = UP(self.anchor_num, dtype=self.dtype, name="rpn")
+        self.rpn = UP(self.anchor_num, xcorr_impl=self.xcorr_impl,
+                      dtype=self.dtype, name="rpn")
 
     def _features(self, x, train=False, train_layers=(False, False)):
         p0, p1, p2, p3 = self.backbone(x, train_layer2=train_layers[0],
@@ -76,13 +78,16 @@ class SiamMaskBase(nn.Module):
     """Mask tracker without refinement: mask head emits 63x63 per cell."""
     anchor_num: int = 5
     o_sz: int = 63
+    xcorr_impl: str = "mm"
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet50Tracking(dtype=self.dtype, name="backbone")
         self.neck = ResDownS(256, dtype=self.dtype, name="neck")
-        self.rpn = UP(self.anchor_num, dtype=self.dtype, name="rpn")
-        self.mask_corr = MaskCorr(self.o_sz, dtype=self.dtype, name="mask_corr")
+        self.rpn = UP(self.anchor_num, xcorr_impl=self.xcorr_impl,
+                      dtype=self.dtype, name="rpn")
+        self.mask_corr = MaskCorr(self.o_sz, xcorr_impl=self.xcorr_impl,
+                                  dtype=self.dtype, name="mask_corr")
 
     def _features(self, x, train=False, train_layers=(False, False)):
         p0, p1, p2, p3 = self.backbone(x, train_layer2=train_layers[0],
@@ -118,13 +123,16 @@ class SiamMaskSharp(nn.Module):
     """Flagship: mask branch + U-shaped Refine to 127x127
     (models/siammask_sharp.py + experiments/siammask_sharp/custom.py)."""
     anchor_num: int = 5
+    xcorr_impl: str = "mm"
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet50Tracking(dtype=self.dtype, name="backbone")
         self.neck = ResDownS(256, dtype=self.dtype, name="neck")
-        self.rpn = UP(self.anchor_num, dtype=self.dtype, name="rpn")
-        self.mask_corr = MaskCorr(63, dtype=self.dtype, name="mask_corr")
+        self.rpn = UP(self.anchor_num, xcorr_impl=self.xcorr_impl,
+                      dtype=self.dtype, name="rpn")
+        self.mask_corr = MaskCorr(63, xcorr_impl=self.xcorr_impl,
+                                  dtype=self.dtype, name="mask_corr")
         self.refine = Refine(dtype=self.dtype, name="refine")
 
     def _features(self, x, train=False, train_layers=(False, False)):

@@ -57,4 +57,7 @@ def depthwise_xcorr(x: jax.Array, k: jax.Array, impl: str = "mm") -> jax.Array:
         return depthwise_xcorr_mm(x, k)
     if impl == "conv":
         return depthwise_xcorr_conv(x, k)
+    if impl == "pallas":
+        from siammask_tpu.ops.xcorr_pallas import depthwise_xcorr_ad
+        return depthwise_xcorr_ad(x, k)
     raise ValueError(f"unknown xcorr impl {impl!r}")

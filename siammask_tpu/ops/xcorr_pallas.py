@@ -33,6 +33,28 @@ def _xcorr_kernel(hk: int, wk: int, ho: int, wo: int):
     return kernel
 
 
+@jax.custom_vjp
+def depthwise_xcorr_ad(x: jax.Array, k: jax.Array) -> jax.Array:
+    """Pallas forward with an XLA (im2col/dot_general) backward, so the kernel
+    is usable under jax.grad in the training step."""
+    interpret = jax.default_backend() != "tpu"
+    return depthwise_xcorr_pallas(x, k, interpret=interpret)
+
+
+def _ad_fwd(x, k):
+    return depthwise_xcorr_ad(x, k), (x, k)
+
+
+def _ad_bwd(res, g):
+    from siammask_tpu.ops.xcorr import depthwise_xcorr_mm
+    x, k = res
+    _, vjp = jax.vjp(depthwise_xcorr_mm, x, k)
+    return vjp(g)
+
+
+depthwise_xcorr_ad.defvjp(_ad_fwd, _ad_bwd)
+
+
 def depthwise_xcorr_pallas(x: jax.Array, k: jax.Array,
                            interpret: bool = False) -> jax.Array:
     b, hx, wx, c = x.shape

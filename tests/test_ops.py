@@ -5,6 +5,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from siammask_tpu.ops.resize import upsample_bilinear_align_corners, upsample_nearest
@@ -139,3 +140,21 @@ def test_depthwise_xcorr_pallas_matches_mm():
     ref = depthwise_xcorr_mm(x, k)
     out = depthwise_xcorr_pallas(x, k, interpret=True)  # interpret: CPU host
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_depthwise_xcorr_pallas_grads_match_mm():
+    """The custom_vjp pallas wrapper must produce mm-formulation gradients."""
+    from siammask_tpu.ops.xcorr_pallas import depthwise_xcorr_ad
+    x = jnp.asarray(RNG.randn(1, 9, 9, 8), jnp.float32)
+    k = jnp.asarray(RNG.randn(1, 3, 3, 8), jnp.float32)
+
+    def loss_pl(x, k):
+        return jnp.sum(depthwise_xcorr_ad(x, k) ** 2)
+
+    def loss_mm(x, k):
+        return jnp.sum(depthwise_xcorr_mm(x, k) ** 2)
+
+    gx_p, gk_p = jax.grad(loss_pl, argnums=(0, 1))(x, k)
+    gx_m, gk_m = jax.grad(loss_mm, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_m), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_m), rtol=1e-5)
