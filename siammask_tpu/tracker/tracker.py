@@ -207,9 +207,13 @@ class Tracker:
         new_sz = jnp.clip(new_sz, jnp.full(2, 10.0),
                           jnp.array([im_w, im_h], jnp.float32))
 
+        # fp32 regardless of model dtype: a bf16 score in the carried state
+        # would change the step signature vs init's fp32 and force a retrace +
+        # recompile inside the tracking loop
+        best_score = score[best].astype(jnp.float32)
         new_state = state._replace(target_pos=new_pos, target_sz=new_sz,
-                                   score=score[best])
-        return new_state, StepOutput(new_pos, new_sz, score[best], best,
+                                   score=best_score)
+        return new_state, StepOutput(new_pos, new_sz, best_score, best,
                                      mask_in_frame, mask_cell)
 
     def step(self, variables, state: TrackState, frame):

@@ -134,3 +134,31 @@ def test_tracker_step_parity(ref_env, frames):
         state = new_state._replace(
             target_pos=jnp.asarray(ref_state["target_pos"], jnp.float32),
             target_sz=jnp.asarray(ref_state["target_sz"], jnp.float32))
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_step_signature_stable(dtype):
+    """The carried TrackState's avals must be a fixed point of step() — a dtype
+    flip (e.g. a bf16 score from the model vs init's fp32) forces a re-trace +
+    recompile inside the tracking loop (measured 25x FPS loss on TPU).
+    eval_shape only: no compile."""
+    import jax
+
+    model = SiamMaskSharp(dtype=dtype)
+    p = TrackerConfig().update(HP, ANCHORS)
+    tracker = Tracker(model, p, mask=True, refine=True)
+    frame = jax.ShapeDtypeStruct((480, 854, 3), jnp.float32)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 127, 127, 3)),
+                           jnp.zeros((1, 255, 255, 3))))
+    state0 = jax.eval_shape(tracker._init_impl, variables, frame,
+                            jnp.zeros(2), jnp.ones(2))
+    state1, _ = jax.eval_shape(tracker._step_impl, variables, state0, frame)
+    state2, _ = jax.eval_shape(tracker._step_impl, variables, state1, frame)
+    assert jax.tree.structure(state0) == jax.tree.structure(state1)
+    for name, a0, a1 in zip(state0._fields, state0, state1):
+        assert (a0.shape, a0.dtype) == (a1.shape, a1.dtype), \
+            f"state.{name} changed aval: {a0} -> {a1}"
+    for name, a1, a2 in zip(state1._fields, state1, state2):
+        assert (a1.shape, a1.dtype) == (a2.shape, a2.dtype), \
+            f"state.{name} not a fixed point: {a1} -> {a2}"

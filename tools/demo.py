@@ -64,9 +64,10 @@ def main():
             if "mask" in out:
                 mask = out["mask"] > runtime.p.seg_thr
                 im_show[:, :, 2] = mask * 255 + (1 - mask) * im_show[:, :, 2]
-                cv2.polylines(im_show,
-                              [np.intp(out["polygon"]).reshape(-1, 1, 2)],
-                              True, (0, 255, 0), 3)
+                poly = np.asarray(out["polygon"], np.float64)
+                if np.all(np.isfinite(poly)):  # untrained weights can emit NaN
+                    cv2.polylines(im_show, [np.intp(poly).reshape(-1, 1, 2)],
+                                  True, (0, 255, 0), 3)
             else:
                 x0, y0 = out["target_pos"] - out["target_sz"] / 2
                 x1, y1 = out["target_pos"] + out["target_sz"] / 2
