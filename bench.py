@@ -28,6 +28,9 @@ def main():
                         help="bfloat16 compute (params stay fp32)")
     parser.add_argument("--xcorr", default="mm", choices=["mm", "conv", "pallas"],
                         help="depthwise-xcorr lowering (ops/xcorr.py)")
+    parser.add_argument("--scan", type=int, default=0,
+                        help="T>0: time the whole-video lax.scan path over T "
+                             "stacked frames (zero per-frame host dispatch)")
     parser.add_argument("--streams", type=int, default=1,
                         help="N independent tracking streams stepped as one "
                              "batched program (serving throughput mode); "
@@ -52,6 +55,27 @@ def main():
 
     im_h, im_w = 480, 854  # DAVIS frame geometry
     frame = jnp.asarray(rng.uniform(0, 255, (im_h, im_w, 3)), jnp.float32)
+
+    if args.scan > 0:
+        state = tracker.init(variables, frame,
+                             np.array([427.0, 240.0]), np.array([120.0, 160.0]))
+        frames = jnp.broadcast_to(frame, (args.scan,) + frame.shape)
+        _, out = tracker.track_video(variables, state, frames)  # compile
+        jax.block_until_ready(out.mask_in_frame)
+        reps = max(1, args.iters // args.scan)
+        t0 = time.perf_counter()
+        st = state
+        for _ in range(reps):
+            st, out = tracker.track_video(variables, st, frames)
+        jax.block_until_ready(out.mask_in_frame)
+        dt = time.perf_counter() - t0
+        fps = reps * args.scan / dt
+        print(json.dumps({
+            "metric": f"siammask_sharp_scan_fps_T{args.scan}",
+            "value": round(fps, 2), "unit": "fps",
+            "vs_baseline": round(fps / BASELINE_FPS, 3),
+        }))
+        return
 
     if args.streams > 1:
         n = args.streams
