@@ -156,7 +156,20 @@ def make_train_step(model, settings: TrainSettings, tx, mesh=None,
     w_cls, w_loc, w_mask = settings.loss_weight
     train_layers = (unfreeze_backbone, unfreeze_backbone)
 
+    def _stop_frozen(params):
+        """stop_gradient on frozen params: the reference's optimizer excludes
+        them entirely (rpn.py:23-29), so their gradients are never consumed —
+        stopping them lets XLA dead-code-eliminate the frozen-stage backward
+        (most of the bwd FLOPs when the backbone is frozen) and the matching
+        gradient all-reduces."""
+        labels = label_params(params, unfreeze_backbone,
+                              train_refine_only=settings.task == "sharp_refine")
+        return jax.tree.map(
+            lambda p, l: jax.lax.stop_gradient(p) if l == "frozen" else p,
+            params, labels)
+
     def loss_fn(params, batch_stats, batch):
+        params = _stop_frozen(params)
         variables = {"params": params, "batch_stats": batch_stats}
         if settings.task == "siamrpn":
             (score, loc), new_model_state = model.apply(

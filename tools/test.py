@@ -50,6 +50,11 @@ def main():
     parser.add_argument("--dataset", default="VOT2018")
     parser.add_argument("--data-dir", default="data")
     parser.add_argument("--video", default="", help="run one video only")
+    parser.add_argument("--video-shard", default="",
+                        help="'i/n': process only videos with index %% n == i "
+                             "(shard a benchmark across hosts/processes; result "
+                             "dirs merge exactly as the reference's per-GPU "
+                             "fan-out, experiments/*/test_all.sh)")
     parser.add_argument("--save_mask", action="store_true")
     parser.add_argument("--no-batch", action="store_true",
                         help="disable the batched multi-object VOS path")
@@ -83,6 +88,10 @@ def main():
     dataset = load_dataset(args.dataset, args.data_dir)
     if args.video:
         dataset = {args.video: dataset[args.video]}
+    if args.video_shard:
+        i, n = map(int, args.video_shard.split("/"))
+        dataset = {name: v for idx, (name, v) in enumerate(sorted(dataset.items()))
+                   if idx % n == i}
 
     runtime = TrackerRuntime(model, variables, p, mask=args.mask,
                              refine=args.refine)
