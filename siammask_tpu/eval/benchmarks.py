@@ -60,8 +60,11 @@ class AccuracyRobustnessBenchmark:
             overlaps = list(itertools.chain(*ret["overlaps"].values()))
             length = sum(len(x) for x in ret["overlaps"].values())
             failures = list(ret["failures"].values())
+            has_valid = len(overlaps) > 0 and not np.all(np.isnan(overlaps))
             out[name] = {
-                "accuracy": float(np.nanmean(overlaps)),
+                # all-NaN when every frame is burnin-masked (very short videos)
+                "accuracy": float(np.nanmean(overlaps)) if has_valid
+                            else float("nan"),
                 "lost_number": float(np.mean(np.sum(failures, axis=0))),
                 "robustness": float(np.mean(np.sum(np.array(failures), axis=0)
                                             / length) * 100),
