@@ -106,6 +106,10 @@ class Config:
         if clip_cfg or clip is not None:
             clip_cfg.setdefault("feature", clip)
             clip_cfg.setdefault("rpn", clip)
+            # the reference reads clip.mask only in split mode
+            # (train_siammask.py:250-252) with no config_helper default —
+            # fall back to the feature clip when the JSON omits it
+            clip_cfg.setdefault("mask", clip_cfg["feature"])
             clip_cfg.setdefault("split", clip_cfg["feature"] != clip_cfg["rpn"])
 
         return cls(

@@ -34,13 +34,15 @@ BN_KW = dict(epsilon=1e-5, momentum=0.9)
 class ResDownS(nn.Module):
     out_channels: int = 256
     dtype: Any = jnp.float32
+    # cross-replica BN-stat sync axis (sync-BN inside shard_map); None = local
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.out_channels, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="bn", **BN_KW)(x)
+        x = nn.BatchNorm(use_running_average=not train, axis_name=self.bn_axis,
+                         dtype=self.dtype, name="bn", **BN_KW)(x)
         if x.shape[2] < 20:
             x = x[:, 4:-4, 4:-4, :]
         return x
@@ -50,13 +52,14 @@ class ConvBNRelu(nn.Module):
     features: int
     kernel: int = 3
     dtype: Any = jnp.float32
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (self.kernel, self.kernel), padding="VALID",
                     use_bias=False, dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                         name="bn", **BN_KW)(x)
+        x = nn.BatchNorm(use_running_average=not train, axis_name=self.bn_axis,
+                         dtype=self.dtype, name="bn", **BN_KW)(x)
         return nn.relu(x)
 
 
@@ -67,13 +70,15 @@ class DepthCorr(nn.Module):
     kernel_size: int = 3
     xcorr_impl: str = "mm"
     dtype: Any = jnp.float32
+    bn_axis: str | None = None
 
     def setup(self):
         self.conv_kernel = ConvBNRelu(self.hidden, self.kernel_size, self.dtype,
-                                      name="conv_kernel")
+                                      self.bn_axis, name="conv_kernel")
         self.conv_search = ConvBNRelu(self.hidden, self.kernel_size, self.dtype,
-                                      name="conv_search")
-        self.head_conv1 = ConvBNRelu(self.hidden, 1, self.dtype, name="head_conv1")
+                                      self.bn_axis, name="conv_search")
+        self.head_conv1 = ConvBNRelu(self.hidden, 1, self.dtype, self.bn_axis,
+                                     name="head_conv1")
         self.head_conv2 = nn.Conv(self.out_channels, (1, 1), use_bias=True,
                                   dtype=self.dtype, name="head_conv2")
 
@@ -95,14 +100,15 @@ class UP(nn.Module):
     feature_out: int = 256
     xcorr_impl: str = "mm"
     dtype: Any = jnp.float32
+    bn_axis: str | None = None
 
     def setup(self):
         self.cls = DepthCorr(self.feature_out, 2 * self.anchor_num,
                              xcorr_impl=self.xcorr_impl, dtype=self.dtype,
-                             name="cls")
+                             bn_axis=self.bn_axis, name="cls")
         self.loc = DepthCorr(self.feature_out, 4 * self.anchor_num,
                              xcorr_impl=self.xcorr_impl, dtype=self.dtype,
-                             name="loc")
+                             bn_axis=self.bn_axis, name="loc")
 
     def __call__(self, z_f, x_f, train: bool = False):
         return self.cls(z_f, x_f, train), self.loc(z_f, x_f, train)
@@ -113,10 +119,12 @@ class MaskCorr(nn.Module):
     o_sz: int = 63
     xcorr_impl: str = "mm"
     dtype: Any = jnp.float32
+    bn_axis: str | None = None
 
     def setup(self):
         self.mask = DepthCorr(256, self.o_sz ** 2, xcorr_impl=self.xcorr_impl,
-                              dtype=self.dtype, name="mask")
+                              dtype=self.dtype, bn_axis=self.bn_axis,
+                              name="mask")
 
     def __call__(self, z_f, x_f, train: bool = False):
         return self.mask(z_f, x_f, train)

@@ -62,6 +62,15 @@ class MaskLossOut(NamedTuple):
     iou_mean: jax.Array
     iou_at_5: jax.Array
     iou_at_7: jax.Array
+    # positives beyond the static gather capacity (0 when the cap is derived
+    # from the batch, since the target sampler bounds positives at 16/sample);
+    # surfaced as a train metric so a silent undersample is visible.
+    pos_overflow: jax.Array | float = 0.0
+
+# per-sample positive-cell cap enforced by the anchor target sampler
+# (data/anchor_target.py AnchorTargetConfig.positive == reference
+# anchortarget_layer's 16-positive cap) — sizes the static gather.
+POS_PER_SAMPLE = 16
 
 
 def _soft_margin(x, y):
@@ -80,21 +89,29 @@ def _iou_rows(pred_bin: jax.Array, label: jax.Array):
 
 def select_mask_logistic_loss(p_m: jax.Array, mask: jax.Array, weight: jax.Array,
                               o_sz: int = 63, g_sz: int = 127, padding: int = 32,
-                              max_pos: int = 64) -> MaskLossOut:
+                              max_pos: int | None = None) -> MaskLossOut:
     """p_m: either (B, S, S, o_sz^2) raw mask-head output (base path — upsampled
     per cell to g_sz), or (B*L, g_sz*g_sz) refined logits (sharp path).
     mask: (B, H, W) ground truth in {-1, +1}; weight: (B, S', S') positive-cell
     indicator (S' matches the unfold grid).
 
-    ``max_pos`` bounds the static gather of positive cells (the anchor target layer
-    caps positives at 16/sample; 64 is safe for batch-level selection headroom).
+    ``max_pos`` bounds the static gather of positive cells. The reference
+    (`models/siammask.py:163-174`) selects EVERY positive cell dynamically; the
+    default (None) matches that exactly by scaling the static gather with the
+    batch — POS_PER_SAMPLE(16) x B — since the anchor target sampler caps
+    positives at 16/sample, so overflow is impossible in real training. Pass an
+    explicit cap only for memory-bounded experimentation; ``pos_overflow``
+    reports any silently dropped positives.
     """
     w_flat = weight.reshape(-1)
     n_rows = w_flat.shape[0]
+    if max_pos is None:
+        max_pos = POS_PER_SAMPLE * weight.shape[0]
     k_sel = min(max_pos, n_rows)
     sel_w, sel_idx = jax.lax.top_k(w_flat, k_sel)
     valid = sel_w == 1
     nval = jnp.sum(valid.astype(jnp.float32))
+    overflow = jnp.sum((w_flat == 1).astype(jnp.float32)) - nval
 
     # ground-truth windows for the selected cells
     gt_windows = unfold_windows(mask[..., None], (g_sz, g_sz), padding=padding,
@@ -118,4 +135,4 @@ def select_mask_logistic_loss(p_m: jax.Array, mask: jax.Array, weight: jax.Array
     iou_mean = jnp.sum(iou * valid) / jnp.maximum(nval, 1.0)
     iou5 = jnp.sum((iou > 0.5) * valid) / jnp.maximum(nval, 1.0)
     iou7 = jnp.sum((iou > 0.7) * valid) / jnp.maximum(nval, 1.0)
-    return MaskLossOut(loss, iou_mean, iou5, iou7)
+    return MaskLossOut(loss, iou_mean, iou5, iou7, overflow)

@@ -40,6 +40,8 @@ class Bottleneck(nn.Module):
     downsample_dilation: int = 1
     downsample_pad: int = 0
     dtype: Any = jnp.float32
+    # cross-replica BN-stat sync axis (sync-BN inside shard_map); None = local
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -50,7 +52,8 @@ class Bottleneck(nn.Module):
         residual = x
         out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv1")(x)
-        out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+        out = nn.BatchNorm(use_running_average=not train, axis_name=self.bn_axis,
+                           dtype=self.dtype,
                            name="bn1", **BN_KW)(out)
         out = nn.relu(out)
 
@@ -58,19 +61,22 @@ class Bottleneck(nn.Module):
                       padding=[(padding, padding)] * 2,
                       kernel_dilation=(self.dilation, self.dilation),
                       use_bias=False, dtype=self.dtype, name="conv2")(out)
-        out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+        out = nn.BatchNorm(use_running_average=not train, axis_name=self.bn_axis,
+                           dtype=self.dtype,
                            name="bn2", **BN_KW)(out)
         out = nn.relu(out)
 
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype,
                       name="conv3")(out)
-        out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+        out = nn.BatchNorm(use_running_average=not train, axis_name=self.bn_axis,
+                           dtype=self.dtype,
                            name="bn3", **BN_KW)(out)
 
         if self.downsample == "conv1x1":
             residual = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                                dtype=self.dtype, name="downsample_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+            residual = nn.BatchNorm(use_running_average=not train, axis_name=self.bn_axis,
+                           dtype=self.dtype,
                                     name="downsample_bn", **BN_KW)(residual)
         elif self.downsample == "conv3x3":
             residual = nn.Conv(self.planes * 4, (3, 3),
@@ -79,7 +85,8 @@ class Bottleneck(nn.Module):
                                kernel_dilation=(self.downsample_dilation,) * 2,
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+            residual = nn.BatchNorm(use_running_average=not train, axis_name=self.bn_axis,
+                           dtype=self.dtype,
                                     name="downsample_bn", **BN_KW)(residual)
 
         return nn.relu(out + residual)
@@ -92,6 +99,7 @@ class ResNetStage(nn.Module):
     stride: int = 1
     dilation: int = 1
     dtype: Any = jnp.float32
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -112,10 +120,11 @@ class ResNetStage(nn.Module):
         # The first block runs at dilation dd (resnet.py:210 passes dd, not dilation).
         x = Bottleneck(self.planes, stride=self.stride, dilation=dd,
                        downsample=downsample, downsample_dilation=dd,
-                       downsample_pad=ds_pad, dtype=self.dtype, name="block0")(x, train)
+                       downsample_pad=ds_pad, dtype=self.dtype,
+                       bn_axis=self.bn_axis, name="block0")(x, train)
         for i in range(1, self.blocks):
             x = Bottleneck(self.planes, dilation=self.dilation, dtype=self.dtype,
-                           name=f"block{i}")(x, train)
+                           bn_axis=self.bn_axis, name=f"block{i}")(x, train)
         return x
 
 
@@ -128,6 +137,7 @@ class ResNet50Tracking(nn.Module):
     layer3 switch to train-mode BN only once unfrozen at 50% training progress.
     ``train_layer2``/``train_layer3`` carry those per-stage flags."""
     dtype: Any = jnp.float32
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, train_layer2: bool = False,
@@ -140,9 +150,10 @@ class ResNet50Tracking(nn.Module):
         p0 = nn.relu(x)
 
         x = nn.max_pool(p0, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        p1 = ResNetStage(64, 3, dtype=self.dtype, name="layer1")(x, False)
+        p1 = ResNetStage(64, 3, dtype=self.dtype, bn_axis=self.bn_axis,
+                         name="layer1")(x, False)
         p2 = ResNetStage(128, 4, stride=2, dtype=self.dtype,
-                         name="layer2")(p1, train_layer2)
+                         bn_axis=self.bn_axis, name="layer2")(p1, train_layer2)
         p3 = ResNetStage(256, 6, stride=1, dilation=2, dtype=self.dtype,
-                         name="layer3")(p2, train_layer3)
+                         bn_axis=self.bn_axis, name="layer3")(p2, train_layer3)
         return p0, p1, p2, p3

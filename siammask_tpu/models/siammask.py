@@ -44,12 +44,17 @@ class SiamRPN(nn.Module):
     anchor_num: int = 5
     xcorr_impl: str = "mm"
     dtype: Any = jnp.float32
+    # cross-replica BN-stat sync axis (sync-BN; set inside shard_map via
+    # model.clone(bn_axis="data")); None = local/global-batch stats
+    bn_axis: str | None = None
 
     def setup(self):
-        self.backbone = ResNet50Tracking(dtype=self.dtype, name="backbone")
-        self.neck = ResDownS(256, dtype=self.dtype, name="neck")
+        self.backbone = ResNet50Tracking(dtype=self.dtype, bn_axis=self.bn_axis,
+                                         name="backbone")
+        self.neck = ResDownS(256, dtype=self.dtype, bn_axis=self.bn_axis,
+                             name="neck")
         self.rpn = UP(self.anchor_num, xcorr_impl=self.xcorr_impl,
-                      dtype=self.dtype, name="rpn")
+                      dtype=self.dtype, bn_axis=self.bn_axis, name="rpn")
 
     def _features(self, x, train=False, train_layers=(False, False)):
         p0, p1, p2, p3 = self.backbone(x, train_layer2=train_layers[0],
@@ -80,14 +85,18 @@ class SiamMaskBase(nn.Module):
     o_sz: int = 63
     xcorr_impl: str = "mm"
     dtype: Any = jnp.float32
+    bn_axis: str | None = None
 
     def setup(self):
-        self.backbone = ResNet50Tracking(dtype=self.dtype, name="backbone")
-        self.neck = ResDownS(256, dtype=self.dtype, name="neck")
+        self.backbone = ResNet50Tracking(dtype=self.dtype, bn_axis=self.bn_axis,
+                                         name="backbone")
+        self.neck = ResDownS(256, dtype=self.dtype, bn_axis=self.bn_axis,
+                             name="neck")
         self.rpn = UP(self.anchor_num, xcorr_impl=self.xcorr_impl,
-                      dtype=self.dtype, name="rpn")
+                      dtype=self.dtype, bn_axis=self.bn_axis, name="rpn")
         self.mask_corr = MaskCorr(self.o_sz, xcorr_impl=self.xcorr_impl,
-                                  dtype=self.dtype, name="mask_corr")
+                                  dtype=self.dtype, bn_axis=self.bn_axis,
+                                  name="mask_corr")
 
     def _features(self, x, train=False, train_layers=(False, False)):
         p0, p1, p2, p3 = self.backbone(x, train_layer2=train_layers[0],
@@ -125,14 +134,18 @@ class SiamMaskSharp(nn.Module):
     anchor_num: int = 5
     xcorr_impl: str = "mm"
     dtype: Any = jnp.float32
+    bn_axis: str | None = None
 
     def setup(self):
-        self.backbone = ResNet50Tracking(dtype=self.dtype, name="backbone")
-        self.neck = ResDownS(256, dtype=self.dtype, name="neck")
+        self.backbone = ResNet50Tracking(dtype=self.dtype, bn_axis=self.bn_axis,
+                                         name="backbone")
+        self.neck = ResDownS(256, dtype=self.dtype, bn_axis=self.bn_axis,
+                             name="neck")
         self.rpn = UP(self.anchor_num, xcorr_impl=self.xcorr_impl,
-                      dtype=self.dtype, name="rpn")
+                      dtype=self.dtype, bn_axis=self.bn_axis, name="rpn")
         self.mask_corr = MaskCorr(63, xcorr_impl=self.xcorr_impl,
-                                  dtype=self.dtype, name="mask_corr")
+                                  dtype=self.dtype, bn_axis=self.bn_axis,
+                                  name="mask_corr")
         self.refine = Refine(dtype=self.dtype, name="refine")
 
     def _features(self, x, train=False, train_layers=(False, False)):

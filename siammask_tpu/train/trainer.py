@@ -84,16 +84,33 @@ class OptimizerConfig:
     momentum: float = 0.9
     weight_decay: float = 1e-4
     clip: float = 10.0
+    # per-module clip split (reference train_siammask.py:248-253 /
+    # config_helper.py:62-70): when clip_split, features (backbone+neck), rpn
+    # and mask+refine are clipped by their own global norms instead of one
+    # whole-model norm.
+    clip_split: bool = False
+    clip_feature: float = 10.0
+    clip_rpn: float = 10.0
+    clip_mask: float = 10.0
     feature_lr_mult: float = 1.0
     rpn_lr_mult: float = 1.0
     mask_lr_mult: float = 1.0
 
     @classmethod
-    def from_lr_cfg(cls, lr_cfg: dict, clip: float = 10.0) -> "OptimizerConfig":
+    def from_lr_cfg(cls, lr_cfg: dict, clip: float = 10.0,
+                    clip_cfg: dict | None = None) -> "OptimizerConfig":
+        clip_cfg = clip_cfg or {}
+        feature = clip_cfg.get("feature") or clip
         return cls(feature_lr_mult=lr_cfg.get("feature_lr_mult", 1.0),
                    rpn_lr_mult=lr_cfg.get("rpn_lr_mult", 1.0),
                    mask_lr_mult=lr_cfg.get("mask_lr_mult", 1.0),
-                   clip=clip)
+                   # unsplit mode uses the feature value as THE global clip
+                   # (config_helper.py:69-70 writes it back into args.clip)
+                   clip=feature,
+                   clip_split=bool(clip_cfg.get("split", False)),
+                   clip_feature=feature,
+                   clip_rpn=clip_cfg.get("rpn") or clip,
+                   clip_mask=clip_cfg.get("mask") or feature)
 
 
 def build_optimizer(params: dict, cfg: OptimizerConfig, unfreeze_backbone: bool,
@@ -118,10 +135,22 @@ def build_optimizer(params: dict, cfg: OptimizerConfig, unfreeze_backbone: bool,
     transforms = {name: group_transform(m) for name, m in mults.items()}
     transforms["frozen"] = optax.set_to_zero()
     labels = label_params(params, unfreeze_backbone, train_refine_only)
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.clip),
-        optax.multi_transform(transforms, labels),
-    )
+
+    if cfg.clip_split:
+        # Per-module norms, matching the reference's three clip_grad_norm_
+        # calls: features == backbone+neck as ONE joint norm, rpn, mask+refine.
+        clip_groups = {"resnet": "feature", "neck": "feature", "rpn": "rpn",
+                       "mask": "mask", "refine": "mask", "frozen": "frozen"}
+        clip_labels = jax.tree.map(lambda l: clip_groups[l], labels)
+        clip_tx = optax.multi_transform(
+            {"feature": optax.clip_by_global_norm(cfg.clip_feature),
+             "rpn": optax.clip_by_global_norm(cfg.clip_rpn),
+             "mask": optax.clip_by_global_norm(cfg.clip_mask),
+             "frozen": optax.identity()},
+            clip_labels)
+    else:
+        clip_tx = optax.clip_by_global_norm(cfg.clip)
+    tx = optax.chain(clip_tx, optax.multi_transform(transforms, labels))
     return tx, labels
 
 
@@ -136,12 +165,15 @@ class TrainSettings:
     o_sz: int = 63
     g_sz: int = 127
     mask_pad: int = 32              # 32 for base-255 search, 0 for sharp-143
-    max_pos: int = 64
+    # None: size the static positive-cell gather to 16 x batch (covers every
+    # positive the target sampler can emit — full reference semantics)
+    max_pos: int | None = None
 
 
 def make_train_step(model, settings: TrainSettings, tx, mesh=None,
                     unfreeze_backbone: bool = False,
-                    fused_allreduce: bool = False) -> Callable:
+                    fused_allreduce: bool = False,
+                    sync_bn: bool = False) -> Callable:
     """Returns jitted step(variables, opt_state, batch, lr) ->
     (variables, opt_state, metrics).
 
@@ -149,10 +181,13 @@ def make_train_step(model, settings: TrainSettings, tx, mesh=None,
     XLA-auto-inserted per-tensor psums (exact global reductions; the default) to
     an explicit shard_map with ALL gradients flattened into one bucket and a
     single pmean — one collective per step instead of one per parameter tensor
-    (gradient bucketing, the production scale-out layout). BN normalizes over
-    the LOCAL shard batch (local-BN; running stats pmean'd across the mesh),
-    whereas the auto-psum path normalizes globally — losses/grads agree to ~1%
-    at small per-shard batch and converge as local batch grows."""
+    (gradient bucketing, the production scale-out layout). By default BN
+    normalizes over the LOCAL shard batch (DDP semantics; running stats pmean'd
+    across the mesh) — losses/grads agree with the auto-psum path to ~1% at
+    small per-shard batch and converge as local batch grows. ``sync_bn``
+    instead syncs BN batch statistics across the mesh inside the shard_map
+    (flax axis_name -> pmean per BN), exactly matching global-batch BN at the
+    cost of two small collectives per training-mode BN layer."""
     w_cls, w_loc, w_mask = settings.loss_weight
     train_layers = (unfreeze_backbone, unfreeze_backbone)
 
@@ -168,7 +203,7 @@ def make_train_step(model, settings: TrainSettings, tx, mesh=None,
             lambda p, l: jax.lax.stop_gradient(p) if l == "frozen" else p,
             params, labels)
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, model=model):
         params = _stop_frozen(params)
         variables = {"params": params, "batch_stats": batch_stats}
         if settings.task == "siamrpn":
@@ -204,7 +239,8 @@ def make_train_step(model, settings: TrainSettings, tx, mesh=None,
                 padding=settings.mask_pad, max_pos=settings.max_pos)
             total = total + w_mask * m.loss
             metrics.update(mask_loss=m.loss, iou_mean=m.iou_mean,
-                           iou_at_5=m.iou_at_5, iou_at_7=m.iou_at_7)
+                           iou_at_5=m.iou_at_5, iou_at_7=m.iou_at_7,
+                           mask_pos_overflow=m.pos_overflow)
         metrics["total_loss"] = total
         return total, (new_model_state["batch_stats"], metrics)
 
@@ -241,13 +277,17 @@ def make_train_step(model, settings: TrainSettings, tx, mesh=None,
 
         params = variables["params"]
         _, unravel = ravel_pytree(params)
+        # sync-BN: the flax modules pmean their batch stats over 'data' —
+        # only meaningful (and only valid) inside the shard_map
+        shard_model = model.clone(bn_axis="data") if sync_bn else model
 
         @partial(shard_map, mesh=mesh,
                  in_specs=(P(), P(), P("data")),
                  out_specs=(P(), P(), P()))
         def grads_shard(params, stats, local_batch):
+            shard_loss = lambda p, s, b: loss_fn(p, s, b, model=shard_model)
             (loss, (new_stats, metrics)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, stats, local_batch)
+                shard_loss, has_aux=True)(params, stats, local_batch)
             flat = ravel_pytree(grads)[0]
             flat = jax.lax.pmean(flat, "data")          # the ONE collective
             new_stats = jax.tree.map(lambda x: jax.lax.pmean(x, "data"),
@@ -295,7 +335,7 @@ class Trainer:
     def __init__(self, model, variables, settings: TrainSettings,
                  opt_cfg: OptimizerConfig, lr_spaces: np.ndarray,
                  epochs: int, mesh=None, unfreeze_at: float = 0.5,
-                 fused_allreduce: bool = False):
+                 fused_allreduce: bool = False, sync_bn: bool = False):
         self.model = model
         self.variables = variables
         self.settings = settings
@@ -305,6 +345,7 @@ class Trainer:
         self.mesh = mesh
         self.unfreeze_at = unfreeze_at
         self.fused_allreduce = fused_allreduce and mesh is not None
+        self.sync_bn = sync_bn
         self._unfrozen = None
         self._step_fn = None
         self.opt_state = None
@@ -324,7 +365,37 @@ class Trainer:
         self._step_fn = make_train_step(self.model, self.settings, tx,
                                         mesh=self.mesh,
                                         unfreeze_backbone=unfrozen,
-                                        fused_allreduce=self.fused_allreduce)
+                                        fused_allreduce=self.fused_allreduce,
+                                        sync_bn=self.sync_bn)
+
+    def restore(self, path: str) -> int:
+        """Full-fidelity resume (reference utils/load_helper.py:57-70 restores
+        model + optimizer + epoch): variables, then align the optimizer tree
+        with the checkpoint's unfreeze phase BEFORE restoring momentum —
+        _ensure_phase re-inits opt_state when the phase flips, so the restore
+        must come after. Returns the epoch to resume from."""
+        import logging
+
+        from flax import serialization
+
+        from siammask_tpu.train.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(path)
+        self.variables = ck["variables"]
+        start_epoch = ck["epoch"]
+        self._ensure_phase(min(start_epoch, self.epochs - 1))
+        if "opt_state_raw" in ck:
+            try:
+                self.opt_state = serialization.from_state_dict(
+                    self.opt_state, ck["opt_state_raw"])
+            except (ValueError, KeyError) as e:
+                # resuming exactly across the unfreeze boundary: the saved
+                # momentum belongs to the pre-boundary optimizer, which the
+                # boundary rebuild discards anyway (fresh momentum, as the
+                # reference's unfreeze rebuild does) — keep the fresh state.
+                logging.getLogger(__name__).warning(
+                    f"optimizer state not restored (phase boundary): {e}")
+        return start_epoch
 
     def step(self, batch: dict, epoch: int):
         self._ensure_phase(epoch)

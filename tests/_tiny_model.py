@@ -16,12 +16,14 @@ import jax.numpy as jnp
 class _TinyStage(nn.Module):
     features: int
     stride: int = 1
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train=False):
         x = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
                     padding="SAME", use_bias=False, name="block0")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn0")(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         axis_name=self.bn_axis, name="bn0")(x)
         return nn.relu(x)
 
 
@@ -30,10 +32,11 @@ class TinySiamMask(nn.Module):
     anchor_num: int = 5
     o_sz: int = 63
     dtype: Any = jnp.float32
+    bn_axis: str | None = None  # sync-BN axis, as on the real models
 
     def setup(self):
-        self.backbone = TinyBackbone(name="backbone")
-        self.neck = _TinyStage(8, name="neck")
+        self.backbone = TinyBackbone(bn_axis=self.bn_axis, name="backbone")
+        self.neck = _TinyStage(8, bn_axis=self.bn_axis, name="neck")
         self.rpn = TinyRPN(self.anchor_num, name="rpn")
         self.mask_corr = TinyMaskHead(self.o_sz, name="mask_corr")
         self.refine = TinyRefine(name="refine")
@@ -55,13 +58,15 @@ class TinySiamMask(nn.Module):
 
 
 class TinyBackbone(nn.Module):
+    bn_axis: str | None = None
+
     @nn.compact
     def __call__(self, x, train_layers=(False, False)):
         x = nn.Conv(4, (3, 3), strides=(4, 4), use_bias=False, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=True, name="bn1")(x)
-        x = _TinyStage(4, 2, name="layer1")(x, False)
-        x = _TinyStage(8, 2, name="layer2")(x, train_layers[0])
-        x = _TinyStage(8, 1, name="layer3")(x, train_layers[1])
+        x = _TinyStage(4, 2, self.bn_axis, name="layer1")(x, False)
+        x = _TinyStage(8, 2, self.bn_axis, name="layer2")(x, train_layers[0])
+        x = _TinyStage(8, 1, self.bn_axis, name="layer3")(x, train_layers[1])
         return x
 
 

@@ -46,6 +46,10 @@ def main():
                         help="bucket all gradients into one pmean per step "
                              "(shard_map DP with local-BN, DDP-style) instead "
                              "of XLA auto-inserted per-tensor collectives")
+    parser.add_argument("--sync-bn", action="store_true",
+                        help="with --fused-allreduce: sync BN batch stats "
+                             "across the mesh (exact global-batch BN at the "
+                             "cost of 2 small collectives per BN layer)")
     parser.add_argument("--tb-dir", default=None,
                         help="TensorBoard log dir (loss/cls, loss/loc, loss/mask, "
                              "mask IoU metrics, lr — as the reference logs)")
@@ -106,16 +110,18 @@ def main():
         mask_pad=0 if search < 255 else 32)
     lr_spaces = build_lr_spaces(cfg.lr, args.epochs)
     trainer = Trainer(model, variables, settings,
-                      OptimizerConfig.from_lr_cfg(cfg.lr, clip=args.clip),
+                      OptimizerConfig.from_lr_cfg(cfg.lr, clip=args.clip,
+                                                  clip_cfg=cfg.clip),
                       lr_spaces, epochs=args.epochs, mesh=mesh,
                       unfreeze_at=args.unfreeze_at,
-                      fused_allreduce=args.fused_allreduce)
+                      fused_allreduce=args.fused_allreduce,
+                      sync_bn=args.sync_bn)
 
     start_epoch = 0
     if args.resume:
-        ck = load_checkpoint(args.resume)
-        trainer.variables = ck["variables"]
-        start_epoch = ck["epoch"]
+        # full-fidelity resume: variables + optimizer momentum + epoch
+        # (reference utils/load_helper.py:57-70 via restore_from)
+        start_epoch = trainer.restore(args.resume)
 
     tb = None
     if args.tb_dir:
