@@ -86,8 +86,12 @@ def parse_vid(vid_root: str) -> list:
                     })
                 frames.append(frame)
             rel = video_dir.replace(anno_base, "").lstrip("/")
+            # reference key convention (vid/parse_vid.py:25): train videos key
+            # as "<SUBSET>/<video>" (the subset name itself contains 'train',
+            # which gen_json_vid's split relies on), val as "val/<video>" —
+            # matching the crop dirs prep.prep_vid writes.
             subset_videos.append({
-                "base_path": join(subset, rel),
+                "base_path": rel if subset == "train" else join("val", rel),
                 "frame": frames,
             })
         info.append(subset_videos)
@@ -128,8 +132,12 @@ def gen_json_det(det_root: str, out_file: str | None = None):
                                              int(bb.find("xmax").text),
                                              int(bb.find("ymax").text)]}
         if tracks:
+            # reference key convention (det/gen_json.py:30): "<subset>/<stem>"
+            # — the per-wnid nesting of ILSVRC2013_train is dropped, matching
+            # the crop dirs prep.prep_det writes.
             rel = xml_file.split("Annotations/")[-1].replace(".xml", "")
-            snippets[rel] = tracks
+            parts = rel.split("/")          # DET/train/<subset>[/<wnid>]/<stem>
+            snippets[join(parts[2], parts[-1])] = tracks
     if out_file:
         json.dump(snippets, open(out_file, "w"), indent=4, sort_keys=True)
     return snippets

@@ -114,6 +114,126 @@ def test_crop_like_siamfc_shape():
     assert out.shape == (511, 511, 3)
 
 
+_VID_XML = """<annotation>
+  <filename>{frame}</filename>
+  <size><width>{w}</width><height>{h}</height></size>
+  {objects}
+</annotation>"""
+_VID_OBJ = """<object>
+    <trackid>{trackid}</trackid><name>{name}</name><occluded>0</occluded>
+    <bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x2}</xmax><ymax>{y2}</ymax></bndbox>
+  </object>"""
+
+
+def _write_xml_frame(ann_dir, data_dir, frame, objs, w=80, h=60):
+    """One ImageNet annotation XML + its Data/ JPEG mirror."""
+    ann_dir.mkdir(parents=True, exist_ok=True)
+    data_dir.mkdir(parents=True, exist_ok=True)
+    obj_xml = "".join(_VID_OBJ.format(trackid=t, name="dog", x1=b[0], y1=b[1],
+                                      x2=b[2], y2=b[3]) for t, b in objs)
+    (ann_dir / f"{frame:06d}.xml").write_text(
+        _VID_XML.format(frame=frame, w=w, h=h, objects=obj_xml))
+    img = np.random.RandomState(frame).randint(0, 255, (h, w, 3), np.uint8)
+    cv2.imwrite(str(data_dir / f"{frame:06d}.JPEG"), img)
+
+
+def test_prep_vid_round_trip(tmp_path):
+    """Fabricated ILSVRC-VID layout -> crops + train.json whose keys match the
+    crop dirs (reference data/vid/{par_crop,parse_vid,gen_json}.py)."""
+    from siammask_tpu.data.gen_json import gen_json_vid, parse_vid
+    from siammask_tpu.data.prep import prep_vid
+
+    root = tmp_path / "ILSVRC2015"
+    sub = "ILSVRC2015_VID_train_0000"
+    for f in range(3):
+        _write_xml_frame(root / "Annotations" / "VID" / "train" / sub / "vidA",
+                         root / "Data" / "VID" / "train" / sub / "vidA",
+                         f, [(0, [20, 15, 50, 45]), (1, [5, 5, 25, 30])])
+    _write_xml_frame(root / "Annotations" / "VID" / "val" / "vidB",
+                     root / "Data" / "VID" / "val" / "vidB",
+                     0, [(0, [10, 10, 40, 40])])
+
+    crop = prep_vid(str(root), search_size=255, num_workers=0)
+    x = cv2.imread(os.path.join(crop, sub, "vidA", "000001.00.x.jpg"))
+    assert x is not None and x.shape == (255, 255, 3)
+    assert cv2.imread(os.path.join(crop, "val", "vidB", "000000.00.x.jpg")) is not None
+
+    train, val = gen_json_vid(parse_vid(str(root)))
+    assert set(train) == {f"{sub}/vidA"}
+    assert set(val) == {"val/vidB"}
+    # every json video key resolves to a crop directory with its frames
+    for key, tracks in {**train, **val}.items():
+        for track, frames in tracks.items():
+            for frame in frames:
+                assert os.path.isfile(
+                    os.path.join(crop, key, f"{frame}.{track}.x.jpg"))
+    assert train[f"{sub}/vidA"]["00"]["000000"] == [20, 15, 50, 45]
+
+
+def test_prep_det_round_trip(tmp_path):
+    """Fabricated ILSVRC-DET layout (flat + ILSVRC2013-style nested wnid dirs)
+    -> crops + train.json with matching '<subset>/<stem>' keys."""
+    from siammask_tpu.data.gen_json import gen_json_det
+    from siammask_tpu.data.prep import prep_det
+
+    root = tmp_path / "ILSVRC2015"
+    _write_xml_frame(root / "Annotations" / "DET" / "train" / "ILSVRC2014_train_0000",
+                     root / "Data" / "DET" / "train" / "ILSVRC2014_train_0000",
+                     0, [(0, [20, 15, 50, 45])])
+    _write_xml_frame(root / "Annotations" / "DET" / "train" / "ILSVRC2013_train" / "n0001",
+                     root / "Data" / "DET" / "train" / "ILSVRC2013_train" / "n0001",
+                     0, [(0, [10, 10, 30, 30]), (1, [40, 20, 70, 50])])
+
+    crop = prep_det(str(root), search_size=255, num_workers=0)
+    js = gen_json_det(str(root))
+    assert set(js) == {"ILSVRC2014_train_0000/000000",
+                       "ILSVRC2013_train/000000"}
+    for key, tracks in js.items():
+        for track in tracks:
+            p = os.path.join(crop, key, f"000000.{track}.x.jpg")
+            im = cv2.imread(p)
+            assert im is not None and im.shape == (255, 255, 3), p
+
+
+def test_prep_ytb_vos_round_trip(tmp_path):
+    """Fabricated YouTube-VOS layout (meta.json + instance-id PNGs) ->
+    parse_ytb_vos instances -> crops (jpg + binarized mask) + train.json."""
+    from siammask_tpu.data.gen_json import gen_json_ytb_vos, parse_ytb_vos
+    from siammask_tpu.data.prep import prep_ytb_vos
+
+    root = tmp_path / "ytb_vos"
+    (root / "train" / "JPEGImages" / "vidX").mkdir(parents=True)
+    (root / "train" / "Annotations" / "vidX").mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    for frame in ("00000", "00005"):
+        img = rng.randint(0, 255, (60, 80, 3), np.uint8)
+        cv2.imwrite(str(root / "train" / "JPEGImages" / "vidX" / f"{frame}.jpg"),
+                    img)
+        label = np.zeros((60, 80), np.uint8)
+        label[10:50, 20:60] = 1          # 1600 px > the 1000-px filter
+        cv2.imwrite(str(root / "train" / "Annotations" / "vidX" / f"{frame}.png"),
+                    label)
+    (root / "train" / "meta.json").write_text(json.dumps(
+        {"videos": {"vidX": {"objects": {"1": {"frames": ["00000", "00005"]}}}}}))
+
+    instances = parse_ytb_vos(str(root))
+    assert instances["vidX"]["1"][0]["bbox"] == [20, 10, 40, 40]
+    crop = prep_ytb_vos(str(root), search_size=255, num_workers=0,
+                        instances=instances)
+    x = cv2.imread(os.path.join(crop, "train", "vidX", "000005.00.x.jpg"))
+    m = cv2.imread(os.path.join(crop, "train", "vidX", "000005.00.m.png"), 0)
+    assert x is not None and x.shape == (255, 255, 3)
+    assert m is not None and set(np.unique(m)) == {0, 255}
+    # the object fills the center of the context crop
+    assert m[127, 127] == 255 and m[0, 0] == 0
+
+    js = gen_json_ytb_vos(instances)
+    assert set(js) == {"train/vidX"}
+    assert set(js["train/vidX"]["00"]) == {"000000", "000005"}
+    # xywh -> corners
+    assert js["train/vidX"]["00"]["000000"] == [20, 10, 60, 50]
+
+
 def test_gen_json_coco(tmp_path):
     coco_dir = tmp_path / "coco"
     (coco_dir / "annotations").mkdir(parents=True)
