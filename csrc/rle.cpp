@@ -2,8 +2,9 @@
 //
 // Implements the exact observable semantics of the COCO mask API (the reference
 // vendors it at data/coco/pycocotools/common/maskApi.c; differential-tested
-// against that build in tests/test_rle.py — this is an independent
-// implementation, not a copy):
+// against that build in tests/test_rle.py). Bit-parity is mandated, so the
+// polygon/merge routines transcribe the COCO maskApi algorithm spec (third-party
+// BSD) — the codec framing, string codec, and ABI are this project's own:
 //
 // - RLE counts alternate background/foreground runs over the COLUMN-MAJOR
 //   flattened mask (Fortran order), starting with background.

@@ -105,6 +105,9 @@ class EAOBenchmark:
                 all_failures.append(calculate_failures(traj)[1])
         fragment_num = sum(len(x) + 1 for x in all_failures)
         max_len = max(len(x) for x in all_overlaps)
+        # NOTE: intentionally uses the LAST video's repeat count, reproducing the
+        # reference protocol's own loop-variable leak (pysot eao_benchmark.py) —
+        # all VOT videos share the repeat count, so the value is uniform anyway.
         seq_weight = 1.0 / len(trajs)
 
         eao = {}

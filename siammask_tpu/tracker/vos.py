@@ -59,9 +59,13 @@ def multi_batch_iou(thrs, outputs, targets, start=None, end=None):
 def track_vos_batched(runtime, video: dict, mot_enable: bool = True,
                       result_dir: str | None = None, dataset: str = "DAVIS2016",
                       tracker_name: str = "SiamMask", save_mask: bool = False,
-                      log=print):
-    """Batched multi-object VOS: all objects advance together per frame via the
-    tracker's vmapped step (one backbone pass with batch=O). Only valid when all
+                      log=print, scan_chunk: int = 32):
+    """Batched multi-object VOS: all objects advance together via the tracker's
+    vmapped step, and full ``scan_chunk``-frame windows run through
+    ``track_video_multi`` — ONE lax.scan device program per chunk with zero
+    per-frame host dispatch; the host decodes chunk t+1 and drains chunk t-1's
+    masks while the device scans chunk t. The ragged tail steps per-frame so
+    every video shares the same two compiled programs. Only valid when all
     objects span the whole video (DAVIS); falls back to the sequential path
     otherwise (YouTube-VOS per-object start/end frames)."""
     import jax.numpy as jnp
@@ -99,14 +103,41 @@ def track_vos_batched(runtime, video: dict, mot_enable: bool = True,
     for o in range(object_num):
         pred_masks[o, 0] = (anno_init == object_ids[o]).astype(np.float32)
 
-    for f in range(1, len(image_files)):
-        im = cv2.imread(image_files[f])
+    def materialize(slot):
+        fs, masks = slot
+        m = np.asarray(masks)                       # blocks on that chunk
+        if m.ndim == 3:                             # (O, H, W) single frame
+            m = m[None]
+        pred_masks[:, fs:fs + m.shape[0]] = m.transpose(1, 0, 2, 3)
+
+    pending = None
+    f, n = 1, len(image_files)
+    while f < n:
+        end = min(f + scan_chunk, n)
+        imgs = np.stack([cv2.imread(image_files[i]) for i in range(f, end)])
         tic = time.perf_counter()
-        states, outs = tracker.step_batched(variables, states,
-                                            jnp.asarray(im, jnp.float32))
-        masks = np.asarray(outs.mask_in_frame)
+        if end - f == scan_chunk:                   # full window: one scan
+            states, outs = tracker.track_video_multi(
+                variables, states, jnp.asarray(imgs, jnp.float32))
+            chunk_masks = [outs.mask_in_frame]      # (T, O, H, W)
+        else:                                       # ragged tail: per-frame
+            chunk_masks = []
+            for i in range(imgs.shape[0]):
+                states, o = tracker.step_batched(
+                    variables, states, jnp.asarray(imgs[i], jnp.float32))
+                chunk_masks.append(o.mask_in_frame)
+        if pending is not None:
+            materialize(pending)
         toc += time.perf_counter() - tic
-        pred_masks[:, f] = masks
+        for masks in chunk_masks:
+            pending = (f, masks)
+            f += masks.shape[0] if masks.ndim == 4 else 1
+            if masks is not chunk_masks[-1]:
+                materialize(pending)
+    if pending is not None:
+        tic = time.perf_counter()
+        materialize(pending)
+        toc += time.perf_counter() - tic
 
     if len(annos) == len(image_files):
         multi_mean_iou = multi_batch_iou(THRS, pred_masks, annos)

@@ -1,4 +1,5 @@
-"""Box geometry helpers (host-side numpy; device variants live in ops/decode.py).
+"""Box geometry helpers (host-side numpy; the on-device anchor decode lives in
+tracker/tracker.py's jitted step).
 
 Semantics match the reference `utils/bbox_helper.py` (corner/center conversions at
 :14-45, `cxy_wh_2_rect` :48, `get_axis_aligned_bbox` :52-74, `aug_apply` :77-142,

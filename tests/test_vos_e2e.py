@@ -70,11 +70,16 @@ def test_vos_batched_matches_protocol(setup):
     data_dir, runtime = setup
     dataset = load_dataset("DAVIS2017", str(data_dir))
     video = dataset["synth"]
+    # per-frame driver (ragged tail: 3 frames < default scan_chunk)
     iou_b, fps_b = track_vos_batched(runtime, video, mot_enable=True,
                                      log=lambda *_: None)
     iou_b = np.asarray(iou_b)
     assert iou_b.shape == (2, 4)
     assert np.all((iou_b >= 0) & (iou_b <= 1))
+    # scan driver (full 3-frame window -> ONE lax.scan program) agrees
+    iou_s, _ = track_vos_batched(runtime, video, mot_enable=True,
+                                 log=lambda *_: None, scan_chunk=3)
+    np.testing.assert_allclose(np.asarray(iou_s), iou_b, rtol=1e-4, atol=1e-5)
 
 
 def test_track_video_multi_scan(setup):
