@@ -37,15 +37,25 @@ PEAK_FLOPS = {"v4": 275e12, "v5e": 197e12, "v5p": 459e12, "v6e": 918e12}
 
 def _flops_per_frame(jitted, args, n_frames):
     """Analytic per-frame FLOPs from XLA's cost model; None when the backend
-    doesn't expose it (e.g. remote-compile paths)."""
+    doesn't expose it. The pre-compile Lowered analysis is preferred — it runs
+    client-side on the HLO, so it works even when compilation happens on a
+    remote service."""
     try:
-        cost = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost["flops"])
-        return flops / n_frames if flops > 0 else None
+        lowered = jitted.lower(*args)
     except Exception:
         return None
+    for get in (lowered.cost_analysis,
+                lambda: lowered.compile().cost_analysis()):
+        try:
+            cost = get()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost["flops"])
+            if flops > 0:
+                return flops / n_frames
+        except Exception:
+            continue
+    return None
 
 
 def main():
@@ -113,10 +123,13 @@ def main():
         n = reps * t_frames
         fps = n / dt
         extras["device_step_us"] = round(dt / n * 1e6, 1)
-        fpf = _flops_per_frame(tracker._scan_jit, (variables, state, frames),
-                               t_frames)
+        # _scan_jit is a jitted METHOD (self is static argnum 0): .lower must
+        # be reached through the class attribute with self passed explicitly
+        fpf = _flops_per_frame(type(tracker)._scan_jit,
+                               (tracker, variables, state, frames), t_frames)
         if fpf and peak:
-            extras["mfu_pct"] = round(100.0 * fpf * fps / peak, 2)
+            extras["model_gflops_per_frame"] = round(fpf / 1e9, 3)
+            extras["mfu_pct"] = round(100.0 * fpf * fps / peak, 3)
         metric = f"siammask_sharp_scan_fps_T{t_frames}"
     else:
         # ---- host-driven stepping (per-frame dispatch; serving-streams mode)

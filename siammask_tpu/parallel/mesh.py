@@ -84,6 +84,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Place a host batch dict onto the mesh, sharded on axis 0."""
+    """Place a host batch dict onto the mesh, sharded on axis 0.
+
+    Single-process: a plain device_put split across local devices. Multi-host
+    (after init_multihost): each process passes its LOCAL slice of the global
+    batch — the per-host data loader feeds disjoint samples — and the slices
+    assemble into one global array spanning the DCN mesh."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -173,7 +173,9 @@ class TrainSettings:
 def make_train_step(model, settings: TrainSettings, tx, mesh=None,
                     unfreeze_backbone: bool = False,
                     fused_allreduce: bool = False,
-                    sync_bn: bool = False) -> Callable:
+                    sync_bn: bool = False,
+                    remat: bool = False,
+                    donate: bool = False) -> Callable:
     """Returns jitted step(variables, opt_state, batch, lr) ->
     (variables, opt_state, metrics).
 
@@ -187,7 +189,19 @@ def make_train_step(model, settings: TrainSettings, tx, mesh=None,
     small per-shard batch and converge as local batch grows. ``sync_bn``
     instead syncs BN batch statistics across the mesh inside the shard_map
     (flax axis_name -> pmean per BN), exactly matching global-batch BN at the
-    cost of two small collectives per training-mode BN layer."""
+    cost of two small collectives per training-mode BN layer.
+
+    ``remat`` rematerializes the forward during the backward instead of
+    keeping activations in HBM (jax.checkpoint; MXU matmul/conv outputs stay
+    saved via the dots policy) — trades recompute FLOPs for the activation
+    memory of the 255^2-search backbone, buying larger per-chip batch.
+    Numerically exact.
+
+    ``donate`` donates the ``variables`` and ``opt_state`` buffers (their HBM
+    is reused for the outputs — halves optimizer-update memory traffic
+    headroom). The passed-in pytrees are DELETED by the call; only enable when
+    the caller threads the returned ones exclusively, as the training CLI
+    does."""
     w_cls, w_loc, w_mask = settings.loss_weight
     train_layers = (unfreeze_backbone, unfreeze_backbone)
 
@@ -244,10 +258,15 @@ def make_train_step(model, settings: TrainSettings, tx, mesh=None,
         metrics["total_loss"] = total
         return total, (new_model_state["batch_stats"], metrics)
 
+    grad_loss = jax.checkpoint(
+        loss_fn,
+        policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    ) if remat else loss_fn
+
     def step(variables, opt_state, batch, lr):
         params = variables["params"]
         (loss, (new_stats, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, variables["batch_stats"], batch)
+            grad_loss, has_aux=True)(params, variables["batch_stats"], batch)
 
         updates, new_opt_state = tx.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: -lr * u, updates)
@@ -286,6 +305,10 @@ def make_train_step(model, settings: TrainSettings, tx, mesh=None,
                  out_specs=(P(), P(), P()))
         def grads_shard(params, stats, local_batch):
             shard_loss = lambda p, s, b: loss_fn(p, s, b, model=shard_model)
+            if remat:
+                shard_loss = jax.checkpoint(
+                    shard_loss,
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
             (loss, (new_stats, metrics)), grads = jax.value_and_grad(
                 shard_loss, has_aux=True)(params, stats, local_batch)
             flat = ravel_pytree(grads)[0]
@@ -319,8 +342,9 @@ def make_train_step(model, settings: TrainSettings, tx, mesh=None,
         rspec = replicated(mesh)
         return jax.jit(step_fused if fused_allreduce else step,
                        in_shardings=(rspec, rspec, bspec, rspec),
-                       out_shardings=(rspec, rspec, rspec))
-    return jax.jit(step)
+                       out_shardings=(rspec, rspec, rspec),
+                       donate_argnums=(0, 1) if donate else ())
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
 # ---------------------------------------------------------------------------
@@ -335,7 +359,8 @@ class Trainer:
     def __init__(self, model, variables, settings: TrainSettings,
                  opt_cfg: OptimizerConfig, lr_spaces: np.ndarray,
                  epochs: int, mesh=None, unfreeze_at: float = 0.5,
-                 fused_allreduce: bool = False, sync_bn: bool = False):
+                 fused_allreduce: bool = False, sync_bn: bool = False,
+                 remat: bool = False, donate: bool = False):
         self.model = model
         self.variables = variables
         self.settings = settings
@@ -346,6 +371,8 @@ class Trainer:
         self.unfreeze_at = unfreeze_at
         self.fused_allreduce = fused_allreduce and mesh is not None
         self.sync_bn = sync_bn
+        self.remat = remat
+        self.donate = donate
         self._unfrozen = None
         self._step_fn = None
         self.opt_state = None
@@ -366,7 +393,9 @@ class Trainer:
                                         mesh=self.mesh,
                                         unfreeze_backbone=unfrozen,
                                         fused_allreduce=self.fused_allreduce,
-                                        sync_bn=self.sync_bn)
+                                        sync_bn=self.sync_bn,
+                                        remat=self.remat,
+                                        donate=self.donate)
 
     def restore(self, path: str) -> int:
         """Full-fidelity resume (reference utils/load_helper.py:57-70 restores
@@ -385,16 +414,27 @@ class Trainer:
         start_epoch = ck["epoch"]
         self._ensure_phase(min(start_epoch, self.epochs - 1))
         if "opt_state_raw" in ck:
+            log = logging.getLogger(__name__)
             try:
-                self.opt_state = serialization.from_state_dict(
+                restored = serialization.from_state_dict(
                     self.opt_state, ck["opt_state_raw"])
+                # from_state_dict does NOT raise when a multi_transform group
+                # flips between frozen/unfrozen across the unfreeze boundary —
+                # it silently grafts the old phase's MaskedNode placeholders
+                # ({}) where the new phase expects momentum arrays, which then
+                # crashes inside the first update. Accept the restore only if
+                # the tree structure matches the current phase's optimizer.
+                if (jax.tree_util.tree_structure(restored)
+                        == jax.tree_util.tree_structure(self.opt_state)):
+                    self.opt_state = restored
+                else:
+                    # the boundary rebuild discards momentum anyway (fresh
+                    # state, as the reference's unfreeze rebuild does)
+                    log.warning("optimizer state not restored: checkpoint is "
+                                "from the other unfreeze phase; momentum "
+                                "restarts (matches the boundary rebuild)")
             except (ValueError, KeyError) as e:
-                # resuming exactly across the unfreeze boundary: the saved
-                # momentum belongs to the pre-boundary optimizer, which the
-                # boundary rebuild discards anyway (fresh momentum, as the
-                # reference's unfreeze rebuild does) — keep the fresh state.
-                logging.getLogger(__name__).warning(
-                    f"optimizer state not restored (phase boundary): {e}")
+                log.warning(f"optimizer state not restored: {e}")
         return start_epoch
 
     def step(self, batch: dict, epoch: int):

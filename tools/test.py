@@ -58,6 +58,10 @@ def main():
     parser.add_argument("--save_mask", action="store_true")
     parser.add_argument("--no-batch", action="store_true",
                         help="disable the batched multi-object VOS path")
+    parser.add_argument("--scan-chunk", type=int, default=32,
+                        help="frames per whole-video lax.scan window in the "
+                             "batched VOS path (bounds device frame memory; "
+                             "ragged tails step per-frame)")
     parser.add_argument("--result-dir", default="test")
     parser.add_argument("--tracker-name", default=None)
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
@@ -102,12 +106,13 @@ def main():
     speeds = []
     for v_id, video in enumerate(dataset.values(), 1):
         if vos_enable:
+            kw = {} if args.no_batch else {"scan_chunk": args.scan_chunk}
             vos_fn = track_vos if args.no_batch else track_vos_batched
             iou, fps = vos_fn(
                 runtime, video,
                 mot_enable=args.dataset in ("DAVIS2017", "ytb_vos"),
                 result_dir=args.result_dir, dataset=args.dataset,
-                tracker_name=tracker_name, save_mask=args.save_mask)
+                tracker_name=tracker_name, save_mask=args.save_mask, **kw)
             if len(iou) > 0:
                 ious.append(np.mean(iou))
             speeds.append(fps)

@@ -46,6 +46,11 @@ def main():
                         help="bucket all gradients into one pmean per step "
                              "(shard_map DP with local-BN, DDP-style) instead "
                              "of XLA auto-inserted per-tensor collectives")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize the forward in the backward "
+                             "(jax.checkpoint, matmul outputs saved) — trades "
+                             "~1/3 more FLOPs for activation memory, allowing "
+                             "larger per-chip batch")
     parser.add_argument("--sync-bn", action="store_true",
                         help="with --fused-allreduce: sync BN batch stats "
                              "across the mesh (exact global-batch BN at the "
@@ -115,7 +120,8 @@ def main():
                       lr_spaces, epochs=args.epochs, mesh=mesh,
                       unfreeze_at=args.unfreeze_at,
                       fused_allreduce=args.fused_allreduce,
-                      sync_bn=args.sync_bn)
+                      sync_bn=args.sync_bn, remat=args.remat,
+                      donate=True)  # the CLI threads trainer state exclusively
 
     start_epoch = 0
     if args.resume:
