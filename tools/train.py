@@ -153,6 +153,17 @@ def main():
                     tb.add_scalar("mask/AP@.5", m.get("iou_at_5", 0), step)
                     tb.add_scalar("mask/AP@.7", m.get("iou_at_7", 0), step)
                     tb.add_scalar("lr", float(lr_spaces[epoch]), step)
+                    # per-group effective LRs (reference train_siammask.py:221
+                    # logs lr/group%d for each optimizer param group)
+                    oc = trainer.opt_cfg
+                    mults = {"resnet": 0.1 * oc.feature_lr_mult,
+                             "neck": oc.feature_lr_mult,
+                             "rpn": oc.rpn_lr_mult,
+                             "mask": oc.mask_lr_mult,
+                             "refine": oc.mask_lr_mult}
+                    for g, (name, mult) in enumerate(sorted(mults.items())):
+                        tb.add_scalar(f"lr/group{g}_{name}",
+                                      float(lr_spaces[epoch]) * mult, step)
                 dt = (time.time() - t_last) / args.log_interval
                 t_last = time.time()
                 log.info(f"epoch {epoch} step {step} "
