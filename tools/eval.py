@@ -1,7 +1,11 @@
-"""Offline VOT evaluation (EAO / Accuracy / Robustness) over written result dirs.
+"""Offline evaluation over written result dirs: VOT EAO / Accuracy /
+Robustness, and DAVIS J&F (region similarity + boundary accuracy).
 
-Mirrors `tools/eval.py`: glob tracker result dirs by prefix, score AR then EAO,
-pretty table. Process-pool fan-out over trackers.
+Mirrors the reference `tools/eval.py` for VOT (glob tracker result dirs by
+prefix, score AR then EAO, pretty table, process-pool fan-out over trackers);
+the DAVIS path evaluates the fused masks `tools/test.py --save_mask` writes —
+the reference had no DAVIS evaluator (its README J/F numbers came from the
+external DAVIS toolkit).
 """
 import argparse
 import sys
@@ -33,6 +37,34 @@ def main():
                       if isdir(x))
     if not trackers:
         print(f"no tracker results under {tracker_root}")
+        return
+
+    if args.dataset.startswith("DAVIS"):
+        from siammask_tpu.eval.datasets import load_dataset
+        from siammask_tpu.eval.davis import DAVISBenchmark
+
+        bench = DAVISBenchmark(load_dataset(args.dataset, args.dataset_dir),
+                               args.dataset, args.result_dir)
+        results = {}
+        if args.num > 1 and len(trackers) > 1:
+            with Pool(min(args.num, len(trackers))) as pool:
+                for r in pool.imap_unordered(bench.eval, trackers):
+                    results.update(r)
+        else:
+            for t in trackers:
+                results.update(bench.eval(t))
+        summary = DAVISBenchmark.summarize(results)
+        name_len = max(max(len(t) for t in trackers) + 2, 12)
+        header = (f"|{'Tracker Name':^{name_len}}|{'J-mean':^8}|{'J-recall':^10}|"
+                  f"{'J-decay':^9}|{'F-mean':^8}|{'F-recall':^10}|{'F-decay':^9}|")
+        bar = "-" * len(header)
+        print(bar + "\n" + header + "\n" + bar)
+        for name in sorted(trackers, key=lambda t: -summary[t]["J_mean"]):
+            s = summary[name]
+            print(f"|{name:^{name_len}}|{s['J_mean']:^8.3f}|{s['J_recall']:^10.3f}|"
+                  f"{s['J_decay']:^9.3f}|{s['F_mean']:^8.3f}|"
+                  f"{s['F_recall']:^10.3f}|{s['F_decay']:^9.3f}|")
+        print(bar)
         return
 
     dataset = VOTDataset(args.dataset, args.dataset_dir)
