@@ -10,12 +10,41 @@ import argparse
 import itertools
 import random
 import sys
-from os import makedirs
-from os.path import dirname, exists, isdir, join, realpath
+from os.path import dirname, realpath
 
 sys.path.insert(0, dirname(dirname(realpath(__file__))))
 
 import numpy as np
+
+
+def run_grid(grid, out_dir, tag_fn, score_fn, log=print):
+    """The reference's cooperative grid protocol (tune_vot.py:77-89,214-241):
+    claim a cell by writing an 'Occ' placeholder, skip cells another process
+    already claimed/scored, stop when someone drops finish.flag. Returns the
+    number of cells THIS process scored."""
+    from os import makedirs
+    from os.path import exists, isdir, join
+
+    if not isdir(out_dir):
+        makedirs(out_dir)
+    finish_flag = join(out_dir, "finish.flag")
+    done = 0
+    for cell in grid:
+        if exists(finish_flag):
+            log("finish.flag present — stopping")
+            break
+        tag = tag_fn(cell)
+        result_file = join(out_dir, tag + ".txt")
+        if exists(result_file):  # claimed or done
+            continue
+        with open(result_file, "w") as f:
+            f.write("Occ")  # cooperative claim
+        score = score_fn(cell)
+        with open(result_file, "w") as f:
+            f.write(f"{tag} score {score}\n")
+        log(f"{tag} score {score}")
+        done += 1
+    return done
 
 
 def main():
@@ -64,21 +93,13 @@ def main():
     variables = load_variables(model, args.resume)
     dataset = load_dataset(args.dataset, args.data_dir)
 
-    if not isdir(args.out_dir):
-        makedirs(args.out_dir)
-    finish_flag = join(args.out_dir, "finish.flag")
+    def tag_fn(cell):
+        pk, wi, lr, instance, thr = cell
+        return (f"pk{pk}_wi{wi}_lr{lr}_in{instance}"
+                + (f"_thr{thr}" if vos else ""))
 
-    for pk, wi, lr, instance, thr in grid:
-        if exists(finish_flag):
-            print("finish.flag present — stopping")
-            return
-        tag = f"pk{pk}_wi{wi}_lr{lr}_in{instance}" + (f"_thr{thr}" if vos else "")
-        result_file = join(args.out_dir, tag + ".txt")
-        if exists(result_file):  # claimed or done
-            continue
-        with open(result_file, "w") as f:
-            f.write("Occ")  # cooperative claim
-
+    def score_fn(cell):
+        pk, wi, lr, instance, thr = cell
         hp = dict(cfg.hp)
         hp.update(penalty_k=pk, window_influence=wi, lr=lr,
                   instance_size=instance)
@@ -96,18 +117,15 @@ def main():
                                    log=lambda *_: None)
                 if len(iou) > 0:
                     ious.append(np.mean(iou))
-            score = float(np.mean(ious))
-        else:
-            total_lost = 0
-            for video in dataset.values():
-                lost, _ = track_vot(runtime, video, dataset=args.dataset,
-                                    mask_enable=True, log=lambda *_: None)
-                total_lost += lost
-            score = -total_lost  # fewer losses is better
+            return float(np.mean(ious))
+        total_lost = 0
+        for video in dataset.values():
+            lost, _ = track_vot(runtime, video, dataset=args.dataset,
+                                mask_enable=True, log=lambda *_: None)
+            total_lost += lost
+        return -total_lost  # fewer losses is better
 
-        with open(result_file, "w") as f:
-            f.write(f"{tag} score {score}\n")
-        print(tag, "score", score)
+    run_grid(grid, args.out_dir, tag_fn, score_fn)
 
 
 if __name__ == "__main__":
