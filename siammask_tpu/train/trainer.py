@@ -192,10 +192,10 @@ def make_train_step(model, settings: TrainSettings, tx, mesh=None,
     cost of two small collectives per training-mode BN layer.
 
     ``remat`` rematerializes the forward during the backward instead of
-    keeping activations in HBM (jax.checkpoint; MXU matmul/conv outputs stay
-    saved via the dots policy) — trades recompute FLOPs for the activation
-    memory of the 255^2-search backbone, buying larger per-chip batch.
-    Numerically exact.
+    keeping activations in HBM (jax.checkpoint with nothing_saveable — in a
+    convnet a dots policy saves every layer) — trades ~1/3 more FLOPs for the
+    activation memory of the 255^2-search backbone, buying larger per-chip
+    batch. Numerically exact.
 
     ``donate`` donates the ``variables`` and ``opt_state`` buffers (their HBM
     is reused for the outputs — halves optimizer-update memory traffic
@@ -258,9 +258,13 @@ def make_train_step(model, settings: TrainSettings, tx, mesh=None,
         metrics["total_loss"] = total
         return total, (new_model_state["batch_stats"], metrics)
 
+    # full remat (nothing saved): in a convnet every layer is a "dot", so a
+    # dots-saveable policy keeps all activations anyway — measured on chip it
+    # RAISED peak memory (rematted clones defeat XLA's buffer reuse) and
+    # OOMed where the plain step fit. nothing_saveable actually trades FLOPs
+    # for memory here.
     grad_loss = jax.checkpoint(
-        loss_fn,
-        policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        loss_fn, policy=jax.checkpoint_policies.nothing_saveable,
     ) if remat else loss_fn
 
     def step(variables, opt_state, batch, lr):
@@ -308,7 +312,7 @@ def make_train_step(model, settings: TrainSettings, tx, mesh=None,
             if remat:
                 shard_loss = jax.checkpoint(
                     shard_loss,
-                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+                    policy=jax.checkpoint_policies.nothing_saveable)
             (loss, (new_stats, metrics)), grads = jax.value_and_grad(
                 shard_loss, has_aux=True)(params, stats, local_batch)
             flat = ravel_pytree(grads)[0]

@@ -48,7 +48,7 @@ def main():
                              "of XLA auto-inserted per-tensor collectives")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize the forward in the backward "
-                             "(jax.checkpoint, matmul outputs saved) — trades "
+                             "(jax.checkpoint full remat) — trades "
                              "~1/3 more FLOPs for activation memory, allowing "
                              "larger per-chip batch")
     parser.add_argument("--sync-bn", action="store_true",
