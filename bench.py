@@ -28,6 +28,9 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_FPS = 56.0  # reference SiamMask (mask+refine) on RTX 2080
+# reference training: 600k pairs/epoch x 20 epochs in ~10 h on 4x V100
+# (reference README.md:174, experiments/siammask_base/{config.json,run.sh})
+BASELINE_TRAIN_SPS = 333.0
 
 # bf16 peak matmul throughput per chip, by generation (MFU denominator; fp32
 # runs are still measured against the bf16 peak — an upper-bound denominator,
@@ -37,15 +40,18 @@ PEAK_FLOPS = {"v4": 275e12, "v5e": 197e12, "v5p": 459e12, "v6e": 918e12}
 
 def _flops_per_frame(jitted, args, n_frames):
     """Analytic per-frame FLOPs from XLA's cost model; None when the backend
-    doesn't expose it. The pre-compile Lowered analysis is preferred — it runs
-    client-side on the HLO, so it works even when compilation happens on a
-    remote service."""
+    doesn't expose it. Post-optimization (compiled) analysis is preferred: the
+    pre-compile Lowered analysis runs on unoptimized HLO, which for training
+    steps counts work the compiler then dead-code-eliminates (e.g. the
+    stop_gradient'd frozen-backbone backward) — measured 10x+ overcounts. The
+    pre-compile number is the fallback for backends whose remote compile
+    doesn't return an executable cost model."""
     try:
         lowered = jitted.lower(*args)
     except Exception:
         return None
-    for get in (lowered.cost_analysis,
-                lambda: lowered.compile().cost_analysis()):
+    for get in (lambda: lowered.compile().cost_analysis(),
+                lowered.cost_analysis):
         try:
             cost = get()
             if isinstance(cost, (list, tuple)):
@@ -58,11 +64,86 @@ def _flops_per_frame(jitted, args, n_frames):
     return None
 
 
+def bench_train(args):
+    """Training-step throughput on one chip: SiamMask-base stage-1 layout
+    (batch of 127-template / 255-search pairs, full fwd+bwd+clip+SGD — the
+    configuration behind the reference's '~10 h on 4x V100' number)."""
+    from siammask_tpu.models.siammask import SiamMaskBase
+    from siammask_tpu.train.trainer import (OptimizerConfig, TrainSettings,
+                                            build_optimizer, make_train_step)
+
+    model = SiamMaskBase(dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+                         xcorr_impl=args.xcorr)
+    rng = np.random.RandomState(0)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 127, 127, 3)),
+                           jnp.zeros((1, 255, 255, 3)))
+
+    settings = TrainSettings(task="base", loss_weight=(1.0, 1.2, 36.0),
+                             mask_pad=32)
+    tx, _ = build_optimizer(variables["params"], OptimizerConfig(),
+                            unfreeze_backbone=args.unfrozen)
+    step = make_train_step(model, settings, tx,
+                           unfreeze_backbone=args.unfrozen, remat=args.remat)
+    opt_state = tx.init(variables["params"])
+
+    b, k, size, search = args.batch, 5, 25, 255
+    batch = {
+        "template": jnp.asarray(rng.uniform(0, 255, (b, 127, 127, 3)), jnp.float32),
+        "search": jnp.asarray(rng.uniform(0, 255, (b, search, search, 3)), jnp.float32),
+        "label_cls": jnp.asarray(rng.choice([-1, 0, 1], size=(b, k, size, size),
+                                            p=[0.8, 0.15, 0.05]), jnp.int32),
+        "label_loc": jnp.asarray(rng.randn(b, 4, k, size, size) * 0.1, jnp.float32),
+        "label_loc_weight": jnp.asarray(rng.rand(b, k, size, size) < 0.1, jnp.float32),
+        "label_mask": jnp.asarray(np.sign(rng.randn(b, search, search)), jnp.float32),
+        "label_mask_weight": jnp.asarray(rng.rand(b, size, size) < 0.05, jnp.float32),
+    }
+    lr = jnp.float32(0.005)
+
+    variables, opt_state, metrics = step(variables, opt_state, batch, lr)  # compile
+    jax.block_until_ready(metrics["total_loss"])
+
+    iters = max(1, args.iters // 8)
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        variables, opt_state, metrics = step(variables, opt_state, batch, lr)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+
+    sps = iters * b / dt
+    extras = {"device_step_ms": round(dt / iters * 1e3, 2), "batch": b,
+              "phase": "unfrozen" if args.unfrozen else "frozen"}
+    peak = PEAK_FLOPS.get(os.environ.get("PALLAS_AXON_TPU_GEN", "v5e"))
+    fpb = _flops_per_frame(step, (variables, opt_state, batch, lr), 1)
+    if fpb and peak:
+        mfu = 100.0 * fpb * (iters / dt) / peak
+        # pre-optimization fallback analysis can overcount (dead frozen-phase
+        # backward); an implied utilization above peak is meaningless — omit
+        if mfu < 100.0:
+            extras["train_gflops_per_step"] = round(fpb / 1e9, 1)
+            extras["train_mfu_pct"] = round(mfu, 2)
+    print(json.dumps({
+        "metric": f"siammask_base_train_samples_per_s_b{b}",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / BASELINE_TRAIN_SPS, 3),
+        **extras,
+    }))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace of the timed loop here")
-    parser.add_argument("--iters", type=int, default=128)
+    # default sized so the scan mode issues enough 64-frame windows (16) to
+    # amortize the per-dispatch relay RTT of this tunneled dev chip: at 128
+    # iters (2 windows) the identical program measured 328 FPS, at 1024 it
+    # converges to ~1100 FPS with a stable 0.91 ms device step
+    parser.add_argument("--iters", type=int, default=1024)
     parser.add_argument("--fp32", action="store_true",
                         help="fp32 compute (default bfloat16, params fp32)")
     parser.add_argument("--xcorr", default="mm", choices=["mm", "conv", "pallas"],
@@ -77,7 +158,21 @@ def main():
                         help="N independent tracking streams stepped as one "
                              "batched program (serving throughput mode); "
                              "reports aggregate frames/s")
+    parser.add_argument("--train", action="store_true",
+                        help="benchmark the training step instead (SiamMask-"
+                             "base stage-1 layout: batch of 127/255 pairs, "
+                             "fwd+bwd+SGD on one chip); reports samples/s vs "
+                             "the reference's 4xV100 training throughput")
+    parser.add_argument("--batch", type=int, default=64,
+                        help="--train mode global batch (reference run.sh: 64)")
+    parser.add_argument("--remat", action="store_true",
+                        help="--train mode: rematerialized backward")
+    parser.add_argument("--unfrozen", action="store_true",
+                        help="--train mode: epoch>=50%% phase (backbone "
+                             "layer2/3 training; the expensive backward)")
     args = parser.parse_args()
+    if args.train:
+        return bench_train(args)
     from siammask_tpu.config import TrackerConfig
     from siammask_tpu.models.siammask import SiamMaskSharp
     from siammask_tpu.tracker.tracker import Tracker
@@ -101,13 +196,27 @@ def main():
     extras = {}
     peak = PEAK_FLOPS.get(os.environ.get("PALLAS_AXON_TPU_GEN", "v5e"))
 
-    if not args.per_step and args.streams == 1:
-        # ---- default: whole-video scan (dispatch-insensitive device metric)
+    if not args.per_step:
+        # ---- default: whole-video scan (dispatch-insensitive device metric).
+        # --streams N > 1 scans the object-batched step instead (N independent
+        # streams advance per scan iteration — the fully device-resident
+        # serving layout, tracker.track_video_multi).
         t_frames = args.scan
-        state = tracker.init(variables, frame,
-                             np.array([427.0, 240.0]), np.array([120.0, 160.0]))
+        n_st = args.streams
+        if n_st > 1:
+            pos = rng.uniform(100, 400, (n_st, 2)).astype(np.float32)
+            sz = rng.uniform(60, 200, (n_st, 2)).astype(np.float32)
+            state = tracker.init_batched(variables, frame, pos, sz)
+            run = tracker.track_video_multi
+            scan_fn = type(tracker)._scan_multi_jit
+        else:
+            state = tracker.init(variables, frame,
+                                 np.array([427.0, 240.0]),
+                                 np.array([120.0, 160.0]))
+            run = tracker.track_video
+            scan_fn = type(tracker)._scan_jit
         frames = jnp.broadcast_to(frame, (t_frames,) + frame.shape)
-        _, out = tracker.track_video(variables, state, frames)  # compile
+        _, out = run(variables, state, frames)  # compile
         jax.block_until_ready(out.mask_in_frame)
         reps = max(1, args.iters // t_frames)
         if args.profile_dir:
@@ -115,22 +224,24 @@ def main():
         t0 = time.perf_counter()
         st = state
         for _ in range(reps):
-            st, out = tracker.track_video(variables, st, frames)
+            st, out = run(variables, st, frames)
         jax.block_until_ready(out.mask_in_frame)
         dt = time.perf_counter() - t0
         if args.profile_dir:
             jax.profiler.stop_trace()
-        n = reps * t_frames
+        n = reps * t_frames * n_st
         fps = n / dt
         extras["device_step_us"] = round(dt / n * 1e6, 1)
-        # _scan_jit is a jitted METHOD (self is static argnum 0): .lower must
-        # be reached through the class attribute with self passed explicitly
-        fpf = _flops_per_frame(type(tracker)._scan_jit,
-                               (tracker, variables, state, frames), t_frames)
+        # the scan entry points are jitted METHODs (self is static argnum 0):
+        # .lower must be reached through the class attribute with self explicit
+        fpf = _flops_per_frame(scan_fn,
+                               (tracker, variables, state, frames),
+                               t_frames * n_st)
         if fpf and peak:
             extras["model_gflops_per_frame"] = round(fpf / 1e9, 3)
             extras["mfu_pct"] = round(100.0 * fpf * fps / peak, 3)
-        metric = f"siammask_sharp_scan_fps_T{t_frames}"
+        metric = (f"siammask_sharp_scan_fps_T{t_frames}" if n_st == 1 else
+                  f"siammask_sharp_scan_aggregate_fps_{n_st}streams")
     else:
         # ---- host-driven stepping (per-frame dispatch; serving-streams mode)
         if args.streams > 1:

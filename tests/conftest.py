@@ -19,8 +19,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: the training-step tests compile several large
-# fwd+bwd programs — cache them across runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_siammask_tpu")
+# fwd+bwd programs — cache them across runs. Lives under $HOME (not /tmp) so it
+# survives host reboots; shared with __graft_entry__'s dryrun child.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/siammask_tpu_xla"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
