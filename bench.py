@@ -73,7 +73,7 @@ def bench_train(args):
                                             build_optimizer, make_train_step)
 
     model = SiamMaskBase(dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
-                         xcorr_impl=args.xcorr)
+                         xcorr_impl=args.xcorr or "mm")
     rng = np.random.RandomState(0)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 127, 127, 3)),
@@ -146,8 +146,11 @@ def main():
     parser.add_argument("--iters", type=int, default=1024)
     parser.add_argument("--fp32", action="store_true",
                         help="fp32 compute (default bfloat16, params fp32)")
-    parser.add_argument("--xcorr", default="mm", choices=["mm", "conv", "pallas"],
-                        help="depthwise-xcorr lowering (ops/xcorr.py)")
+    parser.add_argument("--xcorr", default=None,
+                        choices=["mm", "conv", "shift", "pallas"],
+                        help="depthwise-xcorr lowering (ops/xcorr.py); default "
+                             "'shift' for tracking (latency path), 'mm' for "
+                             "--train (MXU path)")
     parser.add_argument("--scan", type=int, default=64,
                         help="frames per lax.scan window in the default "
                              "whole-video mode")
@@ -182,7 +185,7 @@ def main():
     p = TrackerConfig().update(hp)
 
     model = SiamMaskSharp(dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
-                          xcorr_impl=args.xcorr)
+                          xcorr_impl=args.xcorr or "shift")
     rng = np.random.RandomState(0)
     z = jnp.zeros((1, 127, 127, 3), jnp.float32)
     x = jnp.zeros((1, 255, 255, 3), jnp.float32)

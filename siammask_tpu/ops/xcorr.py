@@ -52,11 +52,39 @@ def depthwise_xcorr_mm(x: jax.Array, k: jax.Array) -> jax.Array:
     return jnp.transpose(out.reshape(b, c, ho, wo), (0, 2, 3, 1))
 
 
+def depthwise_xcorr_shift(x: jax.Array, k: jax.Array) -> jax.Array:
+    """Shift-and-accumulate lowering: out = sum over the Hk*Wk taps of
+    (shifted search slice) * (template tap), accumulated in fp32.
+
+    Rationale (from a TPU profile of the tracking step): the im2col path
+    materializes an un-reduced (B, C, Ho*Wo, Hk*Wk) product ~18x larger than
+    the inputs — at batch 1 the op is pure HBM bandwidth, ~98us per head. Here
+    every tap is an elementwise multiply of an overlapping slice, so XLA fuses
+    all Hk*Wk taps into ONE loop fusion whose output tiles re-read the same
+    VMEM-resident input region — HBM traffic drops to x + k + out (~1 MB).
+    Latency-optimal at tracking batch sizes; for large training batches the
+    MXU im2col path wins (compute-rich), so training keeps impl='mm'.
+    """
+    b, hx, wx, c = x.shape
+    _, hk, wk, _ = k.shape
+    ho, wo = hx - hk + 1, wx - wk + 1
+    xf = x.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    acc = None
+    for dy in range(hk):
+        for dx in range(wk):
+            term = xf[:, dy:dy + ho, dx:dx + wo, :] * kf[:, dy:dy + 1, dx:dx + 1, :]
+            acc = term if acc is None else acc + term
+    return acc.astype(x.dtype)
+
+
 def depthwise_xcorr(x: jax.Array, k: jax.Array, impl: str = "mm") -> jax.Array:
     if impl == "mm":
         return depthwise_xcorr_mm(x, k)
     if impl == "conv":
         return depthwise_xcorr_conv(x, k)
+    if impl == "shift":
+        return depthwise_xcorr_shift(x, k)
     if impl == "pallas":
         from siammask_tpu.ops.xcorr_pallas import depthwise_xcorr_ad
         return depthwise_xcorr_ad(x, k)

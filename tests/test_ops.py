@@ -11,7 +11,8 @@ import jax.numpy as jnp
 from siammask_tpu.ops.resize import upsample_bilinear_align_corners, upsample_nearest
 from siammask_tpu.ops.sample import subwindow_crop, warp_back_mask
 from siammask_tpu.ops.unfold import unfold, unfold_windows
-from siammask_tpu.ops.xcorr import depthwise_xcorr_conv, depthwise_xcorr_mm
+from siammask_tpu.ops.xcorr import (depthwise_xcorr_conv, depthwise_xcorr_mm,
+                                    depthwise_xcorr_shift)
 
 RNG = np.random.RandomState(42)
 
@@ -64,9 +65,20 @@ def test_depthwise_xcorr_matches_torch():
     ref = F.conv2d(xm, km, groups=b * c).reshape(b, c, 25, 25)
     ref = ref.permute(0, 2, 3, 1).numpy()
 
-    for fn in (depthwise_xcorr_conv, depthwise_xcorr_mm):
+    for fn in (depthwise_xcorr_conv, depthwise_xcorr_mm, depthwise_xcorr_shift):
         ours = np.asarray(fn(jnp.asarray(x), jnp.asarray(k)))
         np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-4)
+
+    # the shift lowering (latency path) is vmap-compatible and differentiable
+    v = jax.vmap(depthwise_xcorr_shift)(jnp.asarray(x)[:, None],
+                                        jnp.asarray(k)[:, None])
+    np.testing.assert_allclose(np.asarray(v)[:, 0], ref, atol=1e-3, rtol=1e-4)
+    g = jax.grad(lambda a, b_: jnp.sum(depthwise_xcorr_shift(a, b_) ** 2))(
+        jnp.asarray(x), jnp.asarray(k))
+    gm = jax.grad(lambda a, b_: jnp.sum(depthwise_xcorr_mm(a, b_) ** 2))(
+        jnp.asarray(x), jnp.asarray(k))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gm), atol=2e-2,
+                               rtol=1e-3)
 
 
 def _ref_subwindow(im, pos, model_sz, original_sz, avg_chans):
