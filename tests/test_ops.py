@@ -170,3 +170,28 @@ def test_depthwise_xcorr_pallas_grads_match_mm():
     gx_m, gk_m = jax.grad(loss_mm, argnums=(0, 1))(x, k)
     np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_m), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_m), rtol=1e-5)
+
+
+@pytest.mark.parametrize("ci,co", [(4, 1), (16, 4), (4, 4), (32, 16)])
+def test_conv3x3_lowerings_match_nn_conv(ci, co):
+    """Both Conv3x3 lowerings (VPU shift-accumulate for thin channels, MXU conv
+    for wide) must match flax nn.Conv bit-for-parameter: same param names and
+    shapes, same output. Gradients must also agree (the shift path is used
+    inside the Refine decoder during training)."""
+    import flax.linen as nn
+
+    from siammask_tpu.models.heads import Conv3x3
+
+    x = jnp.asarray(RNG.randn(2, 13, 13, ci), jnp.float32)
+    ref = nn.Conv(co, (3, 3), padding=[(1, 1), (1, 1)])
+    variables = ref.init(jax.random.PRNGKey(1), x)
+    got = Conv3x3(co).apply(variables, x)
+    want = ref.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    g_got = jax.grad(lambda v: jnp.sum(Conv3x3(co).apply(v, x) ** 2))(variables)
+    g_want = jax.grad(lambda v: jnp.sum(ref.apply(v, x) ** 2))(variables)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-4, atol=1e-4),
+        g_got, g_want)
