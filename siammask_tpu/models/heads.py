@@ -160,15 +160,19 @@ class Conv3x3(nn.Module):
 
     The refine decoder ends in very thin convs (e.g. post2: 4->1 channels at
     127x127) — as `lax.conv` they use one MXU column of 128 and profiled at
-    ~34us/frame for ~0.6 MFLOP. When in*out channels are tiny, a
-    shift-accumulate over the 9 taps (elementwise multiply + channel sum, one
-    VPU loop fusion) is an order of magnitude faster; wide convs keep the MXU
-    path. Parameters match nn.Conv ('kernel' (3,3,Ci,Co), 'bias' (Co,)), so
-    checkpoints are unaffected.
+    ~34us/frame for ~0.6 MFLOP. When in*out channels are tiny AND the batch is
+    1, a shift-accumulate over the 9 taps (elementwise multiply + channel sum,
+    one VPU loop fusion) is ~4x faster (75->17us for post2); at batch 16 the
+    VPU work scales linearly while the MXU conv amortizes, and the shift path
+    LOSES (~15% aggregate serving throughput) — so the default is the MXU conv
+    and only the single-stream tracker opts in (vmap hides the stream count
+    from this module, so the choice must come from the caller). Parameters
+    match nn.Conv ('kernel' (3,3,Ci,Co), 'bias' (Co,)), so checkpoints are
+    unaffected either way.
     """
     features: int
     dtype: Any = jnp.float32
-    shift_threshold: int = 128  # use shift lowering when Ci*Co <= this
+    shift_threshold: int = 0  # use shift lowering when 0 < Ci*Co <= this
 
     @nn.compact
     def __call__(self, x):
@@ -199,11 +203,14 @@ class ConvReluBlock(nn.Module):
     mid: int
     out: int
     dtype: Any = jnp.float32
+    thin_threshold: int = 0
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(Conv3x3(self.mid, self.dtype, name="conv0")(x))
-        return nn.relu(Conv3x3(self.out, self.dtype, name="conv1")(x))
+        x = nn.relu(Conv3x3(self.mid, self.dtype, self.thin_threshold,
+                            name="conv0")(x))
+        return nn.relu(Conv3x3(self.out, self.dtype, self.thin_threshold,
+                               name="conv1")(x))
 
 
 class Refine(nn.Module):
@@ -217,19 +224,24 @@ class Refine(nn.Module):
     (all L cells unfolded) share one formulation.
     """
     dtype: Any = jnp.float32
+    # Ci*Co at or below this use the VPU shift lowering (see Conv3x3); the
+    # default 0 keeps every conv on the MXU — correct for training and
+    # batched serving; the batch-1 tracker opts in via the model knob.
+    thin_conv_threshold: int = 0
 
     def setup(self):
         d = self.dtype
-        self.v0 = ConvReluBlock(16, 4, d, name="v0")
-        self.v1 = ConvReluBlock(64, 16, d, name="v1")
-        self.v2 = ConvReluBlock(128, 32, d, name="v2")
-        self.h2 = ConvReluBlock(32, 32, d, name="h2")
-        self.h1 = ConvReluBlock(16, 16, d, name="h1")
-        self.h0 = ConvReluBlock(4, 4, d, name="h0")
+        t = self.thin_conv_threshold
+        self.v0 = ConvReluBlock(16, 4, d, t, name="v0")
+        self.v1 = ConvReluBlock(64, 16, d, t, name="v1")
+        self.v2 = ConvReluBlock(128, 32, d, t, name="v2")
+        self.h2 = ConvReluBlock(32, 32, d, t, name="h2")
+        self.h1 = ConvReluBlock(16, 16, d, t, name="h1")
+        self.h0 = ConvReluBlock(4, 4, d, t, name="h0")
         self.deconv = DeconvExpand(256, 32, 15, d, name="deconv")
-        self.post0 = Conv3x3(16, d, name="post0")
-        self.post1 = Conv3x3(4, d, name="post1")
-        self.post2 = Conv3x3(1, d, name="post2")
+        self.post0 = Conv3x3(16, d, t, name="post0")
+        self.post1 = Conv3x3(4, d, t, name="post1")
+        self.post2 = Conv3x3(1, d, t, name="post2")
 
     def __call__(self, p0, p1, p2, corr):
         """p0 (B,61,61,64), p1 (B,31,31,256), p2 (B,15,15,512), corr (B,256)
@@ -247,18 +259,30 @@ def slice_skip_windows(p0, p1, p2, pos_yx):
     p0/p1/p2 are full search skip maps (1, H, W, C); pos_yx is a traced (row, col)
     int pair. The reference pads by (16, 8, 4) and slices windows of (61, 31, 15)
     at strides (4, 2, 1) relative to the cell index.
+
+    Lowering the pad-then-slice literally (jnp.pad + dynamic_slice)
+    materializes fully padded copies of all three maps — profiled at 260
+    us/iter of pure zero-FLOP pad traffic in the 16-stream batched scan, plus
+    one non-batchable dynamic_slice per stream. Clamped row/col gathers with
+    an out-of-bounds mask produce the identical window, batch cleanly under
+    vmap (one gather for all streams), and touch only window-sized buffers.
     """
     y, x = pos_yx[0], pos_yx[1]
 
-    def pad_slice(f, pad, scale, win):
-        f = jnp.pad(f, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-        return jax.lax.dynamic_slice(
-            f, (0, scale * y, scale * x, 0),
-            (f.shape[0], win, win, f.shape[3]))
+    def win_gather(f, pad, scale, win):
+        n = f.shape[1]
+        r = scale * y - pad + jnp.arange(win)
+        c = scale * x - pad + jnp.arange(win)
+        g = jnp.take(f, jnp.clip(r, 0, n - 1), axis=1,
+                     mode="clip")
+        g = jnp.take(g, jnp.clip(c, 0, n - 1), axis=2,
+                     mode="clip")
+        valid = ((r >= 0) & (r < n))[:, None] & ((c >= 0) & (c < n))[None, :]
+        return g * valid.astype(g.dtype)[None, :, :, None]
 
-    return (pad_slice(p0, 16, 4, 61),
-            pad_slice(p1, 8, 2, 31),
-            pad_slice(p2, 4, 1, 15))
+    return (win_gather(p0, 16, 4, 61),
+            win_gather(p1, 8, 2, 31),
+            win_gather(p2, 4, 1, 15))
 
 
 def unfold_skip_windows(p0, p1, p2):

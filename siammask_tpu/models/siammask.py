@@ -135,6 +135,10 @@ class SiamMaskSharp(nn.Module):
     xcorr_impl: str = "mm"
     dtype: Any = jnp.float32
     bn_axis: str | None = None
+    # VPU shift lowering cutoff for the Refine decoder's thin tail convs
+    # (see heads.Conv3x3): 0 = MXU everywhere (training / batched serving);
+    # the batch-1 tracker clones the model with 128 (tracker.py).
+    thin_conv_threshold: int = 0
 
     def setup(self):
         self.backbone = ResNet50Tracking(dtype=self.dtype, bn_axis=self.bn_axis,
@@ -146,7 +150,9 @@ class SiamMaskSharp(nn.Module):
         self.mask_corr = MaskCorr(63, xcorr_impl=self.xcorr_impl,
                                   dtype=self.dtype, bn_axis=self.bn_axis,
                                   name="mask_corr")
-        self.refine = Refine(dtype=self.dtype, name="refine")
+        self.refine = Refine(dtype=self.dtype,
+                             thin_conv_threshold=self.thin_conv_threshold,
+                             name="refine")
 
     def _features(self, x, train=False, train_layers=(False, False)):
         p0, p1, p2, p3 = self.backbone(x, train_layer2=train_layers[0],

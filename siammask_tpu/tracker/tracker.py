@@ -80,6 +80,15 @@ class Tracker:
     def __init__(self, model, p: TrackerConfig, mask: bool = True,
                  refine: bool = True):
         self.model = model
+        # Latency-optimized clone for the batch-1 single-stream paths: the
+        # Refine tail's thin convs switch to the VPU shift lowering (wins only
+        # at batch 1 — see heads.Conv3x3). Batched paths (vmap hides the
+        # stream count from the module) and training keep the MXU default.
+        # Same parameter tree, so `variables` are interchangeable.
+        try:
+            self.model_single = model.clone(thin_conv_threshold=128)
+        except TypeError:  # model without a Refine decoder (base / siamrpn)
+            self.model_single = model
         self.p = p
         self.mask_enable = mask
         self.refine_enable = refine
@@ -115,6 +124,14 @@ class Tracker:
     # ---------------- step ----------------
 
     def _step_impl(self, variables, state: TrackState, frame):
+        """Batch-1 step (latency clone of the model)."""
+        return self._step_body(self.model_single, variables, state, frame)
+
+    def _step_impl_multi(self, variables, state: TrackState, frame):
+        """Step as vmapped under a stream/object axis (MXU-default model)."""
+        return self._step_body(self.model, variables, state, frame)
+
+    def _step_body(self, model, variables, state: TrackState, frame):
         p = self.p
         k = p.anchor_num
         s = p.score_size
@@ -132,11 +149,11 @@ class Tracker:
                                 state.avg_chans)[None]
 
         if self.mask_enable:
-            out = self.model.apply(variables, state.zf, x_crop, method="track_mask")
+            out = model.apply(variables, state.zf, x_crop, method="track_mask")
             score_map, loc_map = out.score, out.loc
         else:
-            score_map, loc_map = self.model.apply(variables, state.zf, x_crop,
-                                                  method="track")
+            score_map, loc_map = model.apply(variables, state.zf, x_crop,
+                                             method="track")
             out = None
 
         # decode (test.py:205-212); channels blocked (2,k) / (4,k)
@@ -179,7 +196,7 @@ class Tracker:
             delta_x = cell % s
 
             if self.refine_enable:
-                logits_m = self.model.apply(
+                logits_m = model.apply(
                     variables, out.skips, out.corr,
                     jnp.stack([delta_y, delta_x]).astype(jnp.int32),
                     method="track_refine")          # (1, 127*127)
@@ -238,7 +255,7 @@ class Tracker:
         sequential passes (the reference tracks objects sequentially,
         tools/test.py:481-504)."""
         if not hasattr(self, "_step_vmap"):
-            self._step_vmap = jax.jit(jax.vmap(self._step_impl,
+            self._step_vmap = jax.jit(jax.vmap(self._step_impl_multi,
                                                in_axes=(None, 0, None)))
         return self._step_vmap(variables, states, frame)
 
@@ -259,7 +276,7 @@ class Tracker:
 
     @partial(jax.jit, static_argnums=(0,))
     def _scan_multi_jit(self, variables, states, frames):
-        step = jax.vmap(self._step_impl, in_axes=(None, 0, None))
+        step = jax.vmap(self._step_impl_multi, in_axes=(None, 0, None))
 
         def body(st, frame):
             st, out = step(variables, st, frame)
