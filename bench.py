@@ -61,6 +61,14 @@ def _walk_matmul_flops(jaxpr, mult):
             dn = eqn.params["dimension_numbers"]
             kspatial = [rhs[i] for i in dn.rhs_spec[2:]]
             cin_per_group = rhs[dn.rhs_spec[1]]
+            cout = rhs[dn.rhs_spec[0]]
+            fgc = eqn.params.get("feature_group_count", 1)
+            if cin_per_group == 1 and cout == fgc * prod(kspatial):
+                # conv_general_dilated_patches: an identity-kernel conv used
+                # as window extraction (ops/unfold.py, the mask-loss unfold).
+                # It is data movement, not math — counting its one-hot matmul
+                # would add a fictitious 2.6 TFLOP to the batch-8 train step.
+                continue
             total += mult * 2 * prod(out) * prod(kspatial) * cin_per_group
         elif p == "dot_general":
             (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
@@ -114,7 +122,7 @@ def bench_train(args):
                                             build_optimizer, make_train_step)
 
     model = SiamMaskBase(dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
-                         xcorr_impl=args.xcorr or "mm")
+                         xcorr_impl=args.xcorr or "shift")
     rng = np.random.RandomState(0)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 127, 127, 3)),
@@ -141,25 +149,65 @@ def bench_train(args):
     }
     lr = jnp.float32(0.005)
 
-    variables, opt_state, metrics = step(variables, opt_state, batch, lr)  # compile
-    jax.block_until_ready(metrics["total_loss"])
+    # analytic FLOPs BEFORE the first execution: the step donates its
+    # variables/opt_state buffers, so tracing with the post-loop (deleted)
+    # arrays would fail
+    fpb = _flops_per_frame(step, (variables, opt_state, batch, lr), 1)
 
-    iters = max(1, args.iters // 8)
+    # K chained steps per dispatch (mirrors the tracker's scan benchmark):
+    # host-driven per-step dispatch through the tunnel relay measured wall
+    # times BELOW the device's own per-step busy time from a profiler trace
+    # (the relay acks before execution drains), so a per-step python loop
+    # reports fiction. One scanned program per dispatch forces the wall clock
+    # to cover the full device execution.
+    K = 8
+
+    @jax.jit
+    def multi_step(variables, opt_state, batch, lr):
+        def body(carry, _):
+            v, o = carry
+            v, o, m = step(v, o, batch, lr)
+            return (v, o), m["total_loss"]
+
+        (v, o), losses = jax.lax.scan(body, (variables, opt_state), None,
+                                      length=K)
+        return v, o, losses
+
+    variables, opt_state, losses = multi_step(variables, opt_state, batch, lr)
+    # compile+warmup barrier MUST be a data fetch: block_until_ready on this
+    # relay can resolve while the remote compile/execution is still running,
+    # which then lands ~99 s of leftover wait inside the first timed dispatch
+    float(np.asarray(losses)[-1])
+
+    iters = max(1, args.iters // 128) * K
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        variables, opt_state, metrics = step(variables, opt_state, batch, lr)
-    jax.block_until_ready(metrics["total_loss"])
+    for _i in range(iters // K):
+        _t = time.perf_counter()
+        variables, opt_state, losses = multi_step(variables, opt_state,
+                                                  batch, lr)
+        # Drain with a HOST DATA FETCH after EVERY dispatch. Two relay
+        # pathologies force this design: (a) block_until_ready acks before
+        # execution drains once the queue is >1 deep (a trace showed 87
+        # ms/step device busy while a blocking 8-deep wall loop reported 1
+        # ms/step), and (b) a data fetch behind a deep queue degrades ~1000x
+        # (185 s to read 32 bytes behind 8 dispatches; 27 ms behind one).
+        # At queue depth 1 both are honest; the small fetch adds one RTT per
+        # K-step window (~4% at K=8).
+        final_loss = float(np.asarray(losses)[-1])
+        if os.environ.get("BENCH_DEBUG"):
+            print(f"dispatch {_i}: {(time.perf_counter() - _t) * 1e3:.1f} ms "
+                  f"loss={final_loss:.2f}", flush=True)
     dt = time.perf_counter() - t0
     if args.profile_dir:
         jax.profiler.stop_trace()
+    assert np.isfinite(final_loss)
 
     sps = iters * b / dt
     extras = {"device_step_ms": round(dt / iters * 1e3, 2), "batch": b,
               "phase": "unfrozen" if args.unfrozen else "frozen"}
     peak = PEAK_FLOPS.get(os.environ.get("PALLAS_AXON_TPU_GEN", "v5e"))
-    fpb = _flops_per_frame(step, (variables, opt_state, batch, lr), 1)
     if fpb and peak:
         mfu = 100.0 * fpb * (iters / dt) / peak
         # the jaxpr walk counts what was traced; frozen-phase backbone
@@ -190,9 +238,11 @@ def main():
                         help="fp32 compute (default bfloat16, params fp32)")
     parser.add_argument("--xcorr", default=None,
                         choices=["mm", "conv", "shift", "pallas"],
-                        help="depthwise-xcorr lowering (ops/xcorr.py); default "
-                             "'shift' for tracking (latency path), 'mm' for "
-                             "--train (MXU path)")
+                        help="depthwise-xcorr lowering (ops/xcorr.py); "
+                             "default 'shift' everywhere: at the training "
+                             "shapes the im2col 'mm' path is a batch-element "
+                             "matvec the MXU hates (3x8.6 ms/step at batch 64 "
+                             "vs <1 ms as 25 VPU shift-FMAs)")
     parser.add_argument("--scan", type=int, default=64,
                         help="frames per lax.scan window in the default "
                              "whole-video mode")
@@ -262,7 +312,7 @@ def main():
             scan_fn = type(tracker)._scan_jit
         frames = jnp.broadcast_to(frame, (t_frames,) + frame.shape)
         _, out = run(variables, state, frames)  # compile
-        jax.block_until_ready(out.mask_in_frame)
+        float(np.asarray(out.score).ravel()[-1])  # data-fetch barrier
         reps = max(1, args.iters // t_frames)
         if args.profile_dir:
             jax.profiler.start_trace(args.profile_dir)
@@ -270,7 +320,13 @@ def main():
         st = state
         for _ in range(reps):
             st, out = run(variables, st, frames)
-        jax.block_until_ready(out.mask_in_frame)
+        # END-ONLY data fetch: transitively honest (each rep's state chains
+        # the previous, so reading the last score waits for every rep) and it
+        # keeps the device pipe full between windows. A per-rep drain costs a
+        # flat ~30 ms relay RTT per 64-frame window (84% overhead at batch 1)
+        # and the deep-queue fetch pathology that forces per-dispatch drains
+        # in bench_train has not been observed for the scan programs.
+        float(np.asarray(out.score).ravel()[-1])
         dt = time.perf_counter() - t0
         if args.profile_dir:
             jax.profiler.stop_trace()
@@ -302,7 +358,7 @@ def main():
             step = lambda st: tracker.step(variables, st, frame)
 
         state2, out = step(state)  # warmup / compile
-        jax.block_until_ready(out.mask_in_frame)
+        float(np.asarray(out.score).ravel()[-1])  # data-fetch barrier
 
         iters = args.iters
         if args.profile_dir:
@@ -311,7 +367,7 @@ def main():
         st = state
         for _ in range(iters):
             st, out = step(st)
-        jax.block_until_ready(out.mask_in_frame)
+        float(np.asarray(out.score).ravel()[-1])  # honest data-fetch sync
         dt = time.perf_counter() - t0
         if args.profile_dir:
             jax.profiler.stop_trace()

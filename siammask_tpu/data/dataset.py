@@ -426,24 +426,50 @@ def collate(samples: list[Sample]) -> dict[str, np.ndarray]:
     }
 
 
+_WORKER_DATASET = None  # fork-inherited by DataLoader process workers
+
+
+def _seed_worker():
+    """Per-process RNG divergence for forked loader workers (torch DataLoader
+    worker-seed semantics): without this every fork replays the parent's
+    `random`/`np.random` state and produces identical augmentation streams."""
+    import os
+    seed = (os.getpid() * 1000003 + 123456) % (2 ** 31)
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def _worker_get_item(i):
+    return _WORKER_DATASET[i]
+
+
 class DataLoader:
-    """Prefetching loader: a thread pool over cv2-bound __getitem__ work (cv2
-    releases the GIL in imread/warpAffine) feeding a SEPARATE batch-assembly
-    executor that keeps ``prefetch`` collated batches in flight.
+    """Prefetching loader: a pool of item workers over cv2-bound __getitem__
+    work feeding a SEPARATE batch-assembly executor that keeps ``prefetch``
+    collated batches in flight.
 
     Two executors, not one: batch-level tasks block on item-level futures, so
     sharing a pool lets batch tasks starve the item tasks they wait on (with
     num_workers=1 the single worker deadlocks — round-1 ADVICE.md finding).
-    The reference feeds its batch-64 step with 16-20 torch DataLoader process
-    workers (tools/train_siammask.py:88-91); here cv2's GIL-free IO plus
-    multi-batch prefetch fills the same role without process-spawn overhead."""
+
+    ``workers_mode`` picks the item pool. "thread" (default) relies on cv2
+    releasing the GIL in imread/warpAffine — zero spawn overhead, right for
+    this 1-core dev host. "process" forks worker processes like the
+    reference's torch DataLoader(num_workers=16..20, train_siammask.py:88-91)
+    — the production choice on many-core TPU-VM hosts where the pure-Python
+    augmentation/anchor-target math (GIL-bound) dominates per-item cost.
+    Process workers are re-seeded per pid (torch worker-seed semantics), so
+    forked children don't replay identical augmentation streams."""
 
     def __init__(self, dataset: PairDataset, batch_size: int, num_workers: int = 8,
-                 drop_last: bool = True, prefetch: int = 3):
+                 drop_last: bool = True, prefetch: int = 3,
+                 workers_mode: str = "thread"):
+        assert workers_mode in ("thread", "process"), workers_mode
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.prefetch = max(1, prefetch)
+        self.workers_mode = workers_mode
         n = len(dataset)
         self.num_batches = n // batch_size if drop_last else -(-n // batch_size)
 
@@ -460,14 +486,28 @@ class DataLoader:
                 yield collate([self.dataset[i] for i in self._indices(b)])
             return
         from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=self.num_workers) as items, \
-                ThreadPoolExecutor(max_workers=self.prefetch) as batches:
+        if self.workers_mode == "process":
+            # fork-inherit the dataset (set a module global BEFORE the pool
+            # forks) so items aren't re-pickling the dataset per task; each
+            # child re-seeds its RNG streams from its pid in the initializer
+            global _WORKER_DATASET
+            _WORKER_DATASET = self.dataset
+            import multiprocessing
+            items = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("fork"),
+                initializer=_seed_worker)
+            get_item = _worker_get_item
+        else:
+            items = ThreadPoolExecutor(max_workers=self.num_workers)
+            get_item = self.dataset.__getitem__
+
+        with items, ThreadPoolExecutor(max_workers=self.prefetch) as batches:
 
             def load_batch(b):
-                return collate(list(items.map(self.dataset.__getitem__,
-                                              self._indices(b))))
+                return collate(list(items.map(get_item, self._indices(b))))
 
             pending = deque()
             for b in range(self.num_batches):

@@ -54,3 +54,17 @@ def test_loader_keep_last_and_prefetch_depth():
                                 drop_last=False, prefetch=5))
     assert len(batches) == 4
     assert batches[-1]["template"].shape[0] == 1
+
+
+def test_loader_process_workers_agree():
+    """workers_mode="process" (the reference's torch num_workers=16..20
+    analogue for many-core hosts) yields the same ordered batches as the
+    synchronous path for a deterministic dataset, and does not deadlock."""
+    ds = _FakeDataset(10)
+    ref = _drain(DataLoader(ds, batch_size=3, num_workers=0))
+    got = _drain(DataLoader(ds, batch_size=3, num_workers=2,
+                            workers_mode="process"), timeout=120)
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])

@@ -16,7 +16,9 @@ import numpy as np
 def build_model(arch: str, anchor_num: int = 5, xcorr_impl: str = "shift"):
     """Inference defaults to the shift-accumulate xcorr lowering — at tracking
     batch sizes it is ~3x faster than im2col on TPU (latency/bandwidth bound;
-    see ops/xcorr.py depthwise_xcorr_shift). Training keeps 'mm' (MXU path)."""
+    see ops/xcorr.py depthwise_xcorr_shift). Training also defaults to shift
+    (tools/train.py --xcorr): at batch 64 the im2col matmul is a per-batch-
+    element matvec (N=1) the MXU runs at 1.5 TFLOP/s — 1.8x whole-step win."""
     from siammask_tpu.models.siammask import SiamMaskBase, SiamMaskSharp, SiamRPN
 
     if arch in ("Custom", "SiamMaskSharp"):

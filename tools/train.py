@@ -27,6 +27,19 @@ def main():
     parser.add_argument("--epochs", type=int, default=20)
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--workers", type=int, default=16)
+    parser.add_argument("--xcorr", default="shift",
+                        choices=["mm", "conv", "shift", "pallas"],
+                        help="depthwise-xcorr lowering; 'shift' (25 VPU "
+                             "shift-FMAs) measured 1.8x faster whole-step "
+                             "than the im2col 'mm' path at batch 64 (the "
+                             "5x5-kernel im2col matmul has N=1 per batch "
+                             "element - MXU-hostile)")
+    parser.add_argument("--workers-mode", default="thread",
+                        choices=["thread", "process"],
+                        help="loader item-worker pool: threads (cv2 releases "
+                             "the GIL; right for few-core hosts) or forked "
+                             "processes (the reference's torch num_workers="
+                             "16..20 analogue for many-core TPU-VM hosts)")
     parser.add_argument("--clip", type=float, default=10.0)
     parser.add_argument("--save-dir", default="snapshot")
     parser.add_argument("--pretrained", default=None,
@@ -90,7 +103,7 @@ def main():
 
     model_cls = {"siamrpn": SiamRPN, "base": SiamMaskBase,
                  "sharp": SiamMaskSharp, "sharp_refine": SiamMaskSharp}[args.task]
-    model = model_cls(anchor_num=cfg.anchors.anchor_num)
+    model = model_cls(anchor_num=cfg.anchors.anchor_num, xcorr_impl=args.xcorr)
 
     train_cfg = cfg.train_datasets
     search = train_cfg.get("search_size", 255)
@@ -104,7 +117,8 @@ def main():
             variables = load_checkpoint(args.pretrained)["variables"]
 
     dataset = PairDataset(train_cfg, cfg.anchors, num_epoch=1)
-    loader = DataLoader(dataset, args.batch, num_workers=args.workers)
+    loader = DataLoader(dataset, args.batch, num_workers=args.workers,
+                        workers_mode=args.workers_mode)
     num_per_epoch = len(loader)
 
     mesh = data_parallel_mesh(args.num_devices) if jax.device_count() > 1 else None
