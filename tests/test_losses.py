@@ -155,3 +155,36 @@ def test_mask_loss_no_positives():
     weight = jnp.zeros((b, s, s), jnp.float32)
     out = select_mask_logistic_loss(p_m, mask, weight, g_sz=127, padding=0)
     assert float(out.loss) == 0.0 and float(out.iou_mean) == 0.0
+
+
+def test_mask_loss_lowers_without_unfold_convolution():
+    """Guard against the round-2 unfold pathology: lowering the ground-truth
+    window extraction via conv_general_dilated_patches turned a memory op into
+    an identity-kernel DENSE convolution — 20.8 TFLOP/step (87% of all
+    training FLOPs) at the reference batch-64/255^2 layout. The loss must
+    gather the selected windows (dynamic_slice/gather), emitting NO
+    convolution primitive for the ground-truth side."""
+    import jax
+    import jax.numpy as jnp
+
+    from siammask_tpu.models.losses import select_mask_logistic_loss
+
+    def gt_only_loss(mask, weight):
+        # sharp-path p_m (pre-refined rows) so the only conv candidate left
+        # is the ground-truth window extraction
+        p_m = jnp.zeros((weight.shape[0] * weight.shape[1] ** 2, 127 * 127))
+        return select_mask_logistic_loss(p_m, mask, weight, padding=32).loss
+
+    jaxpr = jax.make_jaxpr(gt_only_loss)(
+        jnp.zeros((2, 255, 255)), jnp.zeros((2, 25, 25)))
+
+    def prims(j):
+        for eqn in j.eqns:
+            yield eqn.primitive.name
+            for v in eqn.params.values():
+                vals = v if isinstance(v, (list, tuple)) else [v]
+                for cj in vals:
+                    if hasattr(cj, "jaxpr"):
+                        yield from prims(cj.jaxpr)
+
+    assert "conv_general_dilated" not in set(prims(jaxpr.jaxpr))
