@@ -64,7 +64,10 @@ def build_lr_spaces(cfg: dict, epochs: int = 50) -> np.ndarray:
     cfg = dict(cfg)
     if "warmup" in cfg:
         warm_cfg = dict(cfg.pop("warmup"))
-        warm_epochs = warm_cfg.pop("epoch")
+        # short runs (--epochs below the config's warmup length, e.g. smoke
+        # tests) truncate the warmup instead of producing a negative-length
+        # post-warmup space (np.logspace raises)
+        warm_epochs = min(warm_cfg.pop("epoch"), epochs)
         warm = _space_from(warm_cfg, warm_epochs)
         normal = _space_from(cfg, epochs - warm_epochs)
         return np.concatenate([warm, normal])

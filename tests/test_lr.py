@@ -39,3 +39,16 @@ def test_warmup_parity(ref_builder):
     ours = build_lr_spaces(cfg, 20)
     assert len(ours) == 20
     np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+def test_warmup_truncates_for_short_runs():
+    """--epochs below the config's warmup length (smoke runs) must truncate
+    the warmup instead of crashing on a negative-length post-warmup space."""
+    from siammask_tpu.train.lr import build_lr_spaces
+    cfg = {"type": "log", "start_lr": 0.005, "end_lr": 0.0005,
+           "warmup": {"type": "step", "start_lr": 0.001, "step": 1,
+                      "epoch": 5, "mult": 1.4}}
+    sched = build_lr_spaces(cfg, epochs=1)
+    assert len(sched) == 1 and sched[0] > 0
+    full = build_lr_spaces(cfg, epochs=20)
+    assert len(full) == 20
