@@ -14,8 +14,15 @@ number (README.md:141,145, RTX 2080): sub-window crop + backbone + heads +
 decode/penalty/argmax + refine + warp-back on a DAVIS-sized frame.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
-attribution extras: "device_step_us" (per-frame device time) and, when XLA
-cost analysis is available, "mfu_pct" (analytic model FLOPs / chip peak).
+attribution extras: "device_step_us" (per-frame device time),
+"model_gflops_per_frame" (analytic conv/matmul FLOPs from a jaxpr walk —
+XLA's cost_analysis is blind to this backend's custom-call convolutions) and
+"mfu_pct" (those FLOPs x rate / chip peak).
+
+Timing discipline: all timed loops synchronize through HOST DATA FETCHES at
+shallow dispatch-queue depth — `block_until_ready` on the tunnel relay can
+ack early, and fetches behind a deep queue degrade ~1000x (see CLAUDE.md);
+every number here was cross-checked against jax.profiler device traces.
 """
 import argparse
 import json
@@ -39,7 +46,7 @@ PEAK_FLOPS = {"v4": 275e12, "v5e": 197e12, "v5p": 459e12, "v6e": 918e12}
 
 
 def _jaxprs_in(value):
-    import jax
+    import jax.extend.core  # explicit: `jax.extend` is not auto-imported
     if isinstance(value, jax.extend.core.ClosedJaxpr):
         yield value
     elif isinstance(value, (list, tuple)):

@@ -195,3 +195,34 @@ def test_conv3x3_lowerings_match_nn_conv(ci, co):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-4, atol=1e-4),
         g_got, g_want)
+
+
+def test_bench_flop_walker_counts_exactly():
+    """bench._flops_per_frame must count conv/dot FLOPs exactly (2*MACs),
+    multiply scan bodies by trip count, and ignore patch-extraction convs —
+    it is the MFU numerator, and XLA cost_analysis cannot be used on backends
+    that lower convolutions to custom-calls."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    def fn(x, w, m):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y.reshape(-1, y.shape[-1]) @ m          # dot_general
+        patches = jax.lax.conv_general_dilated_patches(
+            jnp.transpose(x, (0, 3, 1, 2)), (3, 3), (1, 1), "VALID")
+        def body(c, _):
+            return c @ m, ()
+        c, _ = jax.lax.scan(body, y, None, length=5)
+        return c, patches
+
+    x = jnp.zeros((2, 8, 8, 4))
+    w = jnp.zeros((3, 3, 4, 16))
+    m = jnp.zeros((16, 16))
+    jitted = jax.jit(fn)
+    got = bench._flops_per_frame(jitted, (x, w, m), 1)
+    conv = 2 * (2 * 8 * 8 * 16) * (3 * 3 * 4)
+    dot = 2 * (2 * 8 * 8) * 16 * 16
+    scan_dots = 5 * dot
+    assert got == conv + dot + scan_dots  # patches conv contributes ZERO
