@@ -426,6 +426,47 @@ def collate(samples: list[Sample]) -> dict[str, np.ndarray]:
     }
 
 
+def prefetch_to_device(batches, size: int = 2, mesh=None):
+    """Overlap host->device transfer with device compute — the TPU analogue of
+    the reference's ``DataLoader(pin_memory=True)`` (tools/train_siammask.py:
+    88-91). A background thread stages up to ``size`` batches onto the device
+    (sharded over ``mesh`` when given) while the training step runs; the
+    consumer receives device-resident arrays, so the step never waits on H2D.
+
+    Exceptions in the source iterator or transfer are re-raised at the
+    consumer's next pull (not swallowed in the thread)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
+    _END = object()
+
+    def stage(batch):
+        if mesh is not None:
+            from siammask_tpu.parallel.mesh import shard_batch
+            return shard_batch(mesh, batch)
+        import jax
+        import jax.numpy as jnp
+        return jax.tree.map(jnp.asarray, batch)
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(stage(b))
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 - re-raised at consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 _WORKER_DATASET = None  # fork-inherited by DataLoader process workers
 
 

@@ -68,3 +68,33 @@ def test_loader_process_workers_agree():
     for a, b in zip(got, ref):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_prefetch_to_device_order_and_errors():
+    """prefetch_to_device (pin_memory analogue) yields device-resident batches
+    in order and re-raises source exceptions at the consumer."""
+    import jax
+
+    from siammask_tpu.data.dataset import prefetch_to_device
+
+    ds = _FakeDataset(9)
+    loader = DataLoader(ds, batch_size=3, num_workers=0)
+    ref = list(loader)
+    got = list(prefetch_to_device(iter(loader), size=2))
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        for k in a:
+            assert isinstance(a[k], jax.Array)
+            np.testing.assert_array_equal(np.asarray(a[k]), b[k])
+
+    def broken():
+        yield ref[0]
+        raise RuntimeError("loader died")
+
+    it = prefetch_to_device(broken(), size=2)
+    next(it)
+    try:
+        next(it)
+        raise AssertionError("expected the loader error to propagate")
+    except RuntimeError as e:
+        assert "loader died" in str(e)

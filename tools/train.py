@@ -92,7 +92,8 @@ def main():
     from siammask_tpu.config import Config
     from siammask_tpu.data.dataset import DataLoader, PairDataset
     from siammask_tpu.models.siammask import SiamMaskBase, SiamMaskSharp, SiamRPN
-    from siammask_tpu.parallel.mesh import data_parallel_mesh, shard_batch
+    from siammask_tpu.data.dataset import prefetch_to_device
+    from siammask_tpu.parallel.mesh import data_parallel_mesh
     from siammask_tpu.train.checkpoint import load_checkpoint, save_checkpoint
     from siammask_tpu.train.lr import build_lr_spaces
     from siammask_tpu.train.trainer import (OptimizerConfig, Trainer,
@@ -152,9 +153,9 @@ def main():
     t_last = time.time()
     for epoch in range(start_epoch, args.epochs):
         dataset.shuffle()
-        for batch in loader:
-            batch = shard_batch(mesh, batch) if mesh else \
-                jax.tree.map(jnp.asarray, batch)
+        # device prefetch (pin_memory analogue): a background thread stages
+        # the next batches onto the device/mesh while the step runs
+        for batch in prefetch_to_device(iter(loader), size=2, mesh=mesh):
             metrics = trainer.step(batch, epoch)
             step += 1
             if step % args.log_interval == 0:
