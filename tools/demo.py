@@ -49,13 +49,21 @@ def main():
 
     x, y, w, h = map(int, args.box.split(","))
     toc = 0.0
+    warm = 0.0
     for f, im in enumerate(ims):
         tic = time.perf_counter()
         if f == 0:
             runtime.init(im, np.array([x + w / 2, y + h / 2]), np.array([w, h]))
         else:
             out = runtime.track(im)
-        toc += time.perf_counter() - tic
+        dt = time.perf_counter() - tic
+        # frames 0-1 absorb the init/track compiles (minutes cold on the
+        # remote compile service) — report them separately like the
+        # reference's per-video FPS, which also excludes one-time setup
+        if f <= 1:
+            warm += dt
+        else:
+            toc += dt
 
         if args.out_dir and f > 0:
             if not isdir(args.out_dir):
@@ -75,8 +83,10 @@ def main():
                               (0, 255, 0), 3)
             cv2.imwrite(join(args.out_dir, f"{f:05d}.jpg"), im_show)
 
-    print(f"SiamMask-TPU demo: {len(ims)} frames in {toc:.1f}s "
-          f"({(len(ims) - 1) / toc:.1f} fps)")
+    print(f"SiamMask-TPU demo: {len(ims)} frames, "
+          f"init+compile {warm:.1f}s, "
+          f"tracked {max(len(ims) - 2, 0)} frames in {toc:.2f}s "
+          f"({max(len(ims) - 2, 0) / max(toc, 1e-9):.1f} fps)")
 
 
 if __name__ == "__main__":
