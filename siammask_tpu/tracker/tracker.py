@@ -106,6 +106,9 @@ class Tracker:
 
     def _init_impl(self, variables, frame, target_pos, target_sz):
         p = self.p
+        # frames may arrive as uint8 (4x cheaper host->device than fp32 over
+        # PCIe or a network transport); all math runs in f32 regardless
+        frame = frame.astype(jnp.float32)
         avg_chans = jnp.mean(frame, axis=(0, 1))
         s_z = jnp.round(_context_size(target_sz, p.context_amount))
         z_crop = subwindow_crop(frame, target_pos, s_z, p.exemplar_size, avg_chans)
@@ -133,6 +136,7 @@ class Tracker:
 
     def _step_body(self, model, variables, state: TrackState, frame):
         p = self.p
+        frame = frame.astype(jnp.float32)  # uint8 frames accepted (see init)
         k = p.anchor_num
         s = p.score_size
         im_h, im_w = frame.shape[0], frame.shape[1]

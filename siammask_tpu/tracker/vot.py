@@ -38,7 +38,7 @@ def track_vot(runtime, video: dict, dataset: str = "VOT2018",
             location = cxy_wh_2_rect(np.array([cx, cy]), np.array([w, h]))
             regions.append(1 if "VOT" in dataset else gt[f])
         elif f > start_frame:  # tracking
-            out = runtime.track(im)
+            out = runtime.track(im, soft_mask=False)
             if mask_enable:
                 location = out["polygon"].flatten()
             else:

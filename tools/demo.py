@@ -55,7 +55,7 @@ def main():
         if f == 0:
             runtime.init(im, np.array([x + w / 2, y + h / 2]), np.array([w, h]))
         else:
-            out = runtime.track(im)
+            out = runtime.track(im, soft_mask=False)
         dt = time.perf_counter() - tic
         # frames 0-1 absorb the init/track compiles (minutes cold on the
         # remote compile service) — report them separately like the
@@ -69,8 +69,8 @@ def main():
             if not isdir(args.out_dir):
                 makedirs(args.out_dir)
             im_show = im.copy()
-            if "mask" in out:
-                mask = out["mask"] > runtime.p.seg_thr
+            if "mask_bin" in out:
+                mask = out["mask_bin"].astype(bool)
                 im_show[:, :, 2] = mask * 255 + (1 - mask) * im_show[:, :, 2]
                 poly = np.asarray(out["polygon"], np.float64)
                 if np.all(np.isfinite(poly)):  # untrained weights can emit NaN
