@@ -172,3 +172,29 @@ def test_step_signature_stable(dtype):
     for name, a1, a2 in zip(state1._fields, state1, state2):
         assert (a1.shape, a1.dtype) == (a2.shape, a2.dtype), \
             f"state.{name} not a fixed point: {a1} -> {a2}"
+
+
+def test_uint8_frames_match_float32():
+    """uint8 frame upload (4x cheaper transport; cast on device inside the
+    jitted step) must produce bit-identical tracking to fp32 frames."""
+    import jax
+
+    model = SiamMaskSharp(dtype=jnp.float32)
+    p = TrackerConfig().update(HP, ANCHORS)
+    tracker = Tracker(model, p, mask=True, refine=True)
+    rng = np.random.RandomState(3)
+    frame_u8 = rng.randint(0, 255, (240, 320, 3), np.uint8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 127, 127, 3)),
+                           jnp.zeros((1, 255, 255, 3)))
+    pos, sz = np.array([160.0, 120.0]), np.array([60.0, 80.0])
+
+    s_u8 = tracker.init(variables, jnp.asarray(frame_u8), pos, sz)
+    s_f32 = tracker.init(variables, jnp.asarray(frame_u8, jnp.float32), pos, sz)
+    _, out_u8 = tracker.step(variables, s_u8, jnp.asarray(frame_u8))
+    _, out_f32 = tracker.step(variables, s_f32,
+                              jnp.asarray(frame_u8, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(out_u8.target_pos),
+                                  np.asarray(out_f32.target_pos))
+    np.testing.assert_array_equal(np.asarray(out_u8.mask_in_frame),
+                                  np.asarray(out_f32.mask_in_frame))
