@@ -219,10 +219,13 @@ def bench_train(args):
         mfu = 100.0 * fpb * (iters / dt) / peak
         # the jaxpr walk counts what was traced; frozen-phase backbone
         # backward is already cut at trace time by stop_gradient, so this is
-        # the executed work — but keep the sanity guard anyway
-        if mfu < 100.0:
-            extras["train_gflops_per_step"] = round(fpb / 1e9, 1)
-            extras["train_mfu_pct"] = round(mfu, 2)
+        # the executed work. Always emit the numbers — an MFU >= 100% means
+        # the FLOP walker overcounted (or the wall clock lied) and hiding it
+        # would mask exactly that bug; flag it instead.
+        extras["train_gflops_per_step"] = round(fpb / 1e9, 1)
+        extras["train_mfu_pct"] = round(mfu, 2)
+        if mfu >= 100.0:
+            extras["mfu_suspect"] = True
     print(json.dumps({
         "metric": f"siammask_base_train_samples_per_s_b{b}",
         "value": round(sps, 1),

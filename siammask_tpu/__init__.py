@@ -22,13 +22,16 @@ import jax as _jax
 # Persistent XLA compilation cache (CPU only): the CPU test/dev host has one
 # core and compiles large graphs slowly — cache across processes. The TPU path
 # here compiles through a remote service that does not interoperate with the
-# on-disk cache, so leave it untouched there.
+# on-disk cache, so leave it untouched there. The directory is keyed by a CPU
+# feature fingerprint: XLA:CPU cache keys exclude machine features, so entries
+# from a different host fail-load AND block write-back (see utils/cachedir.py).
 if (_jax.config.jax_compilation_cache_dir is None
         and (_os.environ.get("JAX_PLATFORMS") or "cpu") == "cpu"):
+    from siammask_tpu.utils.cachedir import machine_cache_dir as _mcd
+
     _jax.config.update(
         "jax_compilation_cache_dir",
-        _os.environ.get("SIAMMASK_TPU_CACHE",
-                        _os.path.expanduser("~/.cache/siammask_tpu_xla")))
+        _mcd(_os.environ.get("SIAMMASK_TPU_CACHE")))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

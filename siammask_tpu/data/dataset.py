@@ -434,12 +434,16 @@ def prefetch_to_device(batches, size: int = 2, mesh=None):
     consumer receives device-resident arrays, so the step never waits on H2D.
 
     Exceptions in the source iterator or transfer are re-raised at the
-    consumer's next pull (not swallowed in the thread)."""
+    consumer's next pull (not swallowed in the thread). If the consumer
+    abandons the generator early (break / exception / GC), the worker is
+    signalled to stop instead of blocking forever on a full queue with
+    ``size`` staged device batches pinned."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
     _END = object()
+    stop = threading.Event()
 
     def stage(batch):
         if mesh is not None:
@@ -449,25 +453,44 @@ def prefetch_to_device(batches, size: int = 2, mesh=None):
         import jax.numpy as jnp
         return jax.tree.map(jnp.asarray, batch)
 
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for b in batches:
-                q.put(stage(b))
-            q.put(_END)
+                if not put(stage(b)):
+                    return
+            put(_END)
         except BaseException as e:  # noqa: BLE001 - re-raised at consumer
-            q.put(e)
+            put(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
-_WORKER_DATASET = None  # fork-inherited by DataLoader process workers
+# Fork-inherited registry of live process-mode loaders' datasets, keyed per
+# loader so two loaders iterated concurrently (train + val) each fork workers
+# against THEIR dataset (round-2 ADVICE: a single global took whichever was
+# set last). Entries are published before the pool forks and removed when
+# iteration ends; fork inheritance means no per-task pickling.
+_WORKER_DATASETS: dict = {}
+_WORKER_DATASET = None  # set per worker process by _init_worker
 
 
 def _seed_worker():
@@ -478,6 +501,12 @@ def _seed_worker():
     seed = (os.getpid() * 1000003 + 123456) % (2 ** 31)
     random.seed(seed)
     np.random.seed(seed)
+
+
+def _init_worker(key):
+    global _WORKER_DATASET
+    _WORKER_DATASET = _WORKER_DATASETS[key]
+    _seed_worker()
 
 
 def _worker_get_item(i):
@@ -529,31 +558,37 @@ class DataLoader:
         from collections import deque
         from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
+        worker_key = None
         if self.workers_mode == "process":
-            # fork-inherit the dataset (set a module global BEFORE the pool
-            # forks) so items aren't re-pickling the dataset per task; each
-            # child re-seeds its RNG streams from its pid in the initializer
-            global _WORKER_DATASET
-            _WORKER_DATASET = self.dataset
+            # fork-inherit the dataset (publish it in the per-loader registry
+            # BEFORE the pool forks) so items aren't re-pickling the dataset
+            # per task; each child re-seeds its RNG streams from its pid and
+            # binds its loader's dataset in the initializer
+            worker_key = id(self)
+            _WORKER_DATASETS[worker_key] = self.dataset
             import multiprocessing
             items = ProcessPoolExecutor(
                 max_workers=self.num_workers,
                 mp_context=multiprocessing.get_context("fork"),
-                initializer=_seed_worker)
+                initializer=_init_worker, initargs=(worker_key,))
             get_item = _worker_get_item
         else:
             items = ThreadPoolExecutor(max_workers=self.num_workers)
             get_item = self.dataset.__getitem__
 
-        with items, ThreadPoolExecutor(max_workers=self.prefetch) as batches:
+        try:
+            with items, ThreadPoolExecutor(max_workers=self.prefetch) as batches:
 
-            def load_batch(b):
-                return collate(list(items.map(get_item, self._indices(b))))
+                def load_batch(b):
+                    return collate(list(items.map(get_item, self._indices(b))))
 
-            pending = deque()
-            for b in range(self.num_batches):
-                pending.append(batches.submit(load_batch, b))
-                if len(pending) > self.prefetch:
+                pending = deque()
+                for b in range(self.num_batches):
+                    pending.append(batches.submit(load_batch, b))
+                    if len(pending) > self.prefetch:
+                        yield pending.popleft().result()
+                while pending:
                     yield pending.popleft().result()
-            while pending:
-                yield pending.popleft().result()
+        finally:
+            if worker_key is not None:
+                _WORKER_DATASETS.pop(worker_key, None)

@@ -184,6 +184,8 @@ def load_dataset(dataset: str, data_dir: str = "data") -> dict:
                                 for k, o in objects.items()},
                 "end_frame": {k: frames.index(o["frames"][-1])
                               for k, o in objects.items()},
+                # per-object category (drives the seen/unseen J/F split)
+                "category": {k: o.get("category") for k, o in objects.items()},
                 "name": video,
             }
     elif "TEST" in dataset:

@@ -3,10 +3,12 @@
 The reference reports DAVIS J/F in its README (README.md:141) but contains no
 evaluator — those numbers come from the external DAVIS toolkit run over the
 masks `tools/test.py --save_mask` writes. This module makes the framework
-self-contained: the same J (per-frame mask IoU) and F (bipartite boundary
-match with a distance tolerance of 0.008x the image diagonal, approximated by
-morphological dilation exactly as the official `davis2017-evaluation`
-`f_boundary.py` does) plus the toolkit's mean / recall / decay statistics.
+self-contained: the same J (per-frame mask IoU) and F (boundary precision/
+recall with a distance tolerance of 0.008x the image diagonal, using the
+official `f_boundary.py` machinery: the ``seg2bmap`` neighbor-XOR boundary
+map and an exact L2-disk dilation) plus the toolkit's mean / recall / decay
+statistics. Differential-tested against a per-pixel transcription of the
+official formula (tests/test_davis_eval.py).
 
 Protocol notes (matching the official toolkit):
 - frames 0 (the given annotation) and the last frame are excluded;
@@ -35,31 +37,48 @@ def db_eval_iou(segmentation: np.ndarray, annotation: np.ndarray) -> float:
     return np.count_nonzero(seg & ann) / union
 
 
-def _boundary(mask: np.ndarray) -> np.ndarray:
-    """One-pixel-wide boundary map (mask minus its erosion; cross kernel —
-    the morphological-gradient stand-in for the toolkit's seg2bmap)."""
-    m = (mask > 0).astype(np.uint8)
-    kernel = cv2.getStructuringElement(cv2.MORPH_CROSS, (3, 3))
-    return (m - cv2.erode(m, kernel)).astype(bool)
+def seg2bmap(seg: np.ndarray) -> np.ndarray:
+    """The official toolkit's boundary map (f_boundary.py seg2bmap, same-size
+    path): a pixel is boundary iff it differs from its east, south, or
+    south-east neighbor, with the last row/column compared against the
+    out-of-image zero padding only along their remaining direction and the
+    corner forced off."""
+    seg = (seg > 0)
+    e = np.zeros_like(seg)
+    s = np.zeros_like(seg)
+    se = np.zeros_like(seg)
+    e[:, :-1] = seg[:, 1:]
+    s[:-1, :] = seg[1:, :]
+    se[:-1, :-1] = seg[1:, 1:]
+    b = (seg ^ e) | (seg ^ s) | (seg ^ se)
+    b[-1, :] = seg[-1, :] ^ e[-1, :]
+    b[:, -1] = seg[:, -1] ^ s[:, -1]
+    b[-1, -1] = False
+    return b
+
+
+def _l2_disk(radius: int) -> np.ndarray:
+    """skimage.morphology.disk: pixels within L2 distance ``radius``."""
+    yy, xx = np.ogrid[-radius:radius + 1, -radius:radius + 1]
+    return (xx * xx + yy * yy <= radius * radius).astype(np.uint8)
 
 
 def db_eval_boundary(segmentation: np.ndarray, annotation: np.ndarray,
                      bound_th: float = 0.008) -> float:
     """Boundary F-measure: precision/recall of the predicted boundary against
     the ground-truth boundary, each tolerance-dilated by
-    ceil(bound_th * image diagonal) pixels."""
+    ceil(bound_th * image diagonal) pixels (official f_boundary.py)."""
     h, w = annotation.shape[:2]
     bound_pix = int(np.ceil(bound_th * np.linalg.norm([h, w])))
 
-    fg_b = _boundary(segmentation)
-    gt_b = _boundary(annotation)
+    fg_b = seg2bmap(segmentation)
+    gt_b = seg2bmap(annotation)
     if not fg_b.any() and not gt_b.any():
         return 1.0
     if not fg_b.any() or not gt_b.any():
         return 0.0
 
-    disk = cv2.getStructuringElement(cv2.MORPH_ELLIPSE,
-                                     (2 * bound_pix + 1, 2 * bound_pix + 1))
+    disk = _l2_disk(bound_pix)
     fg_dil = cv2.dilate(fg_b.astype(np.uint8), disk).astype(bool)
     gt_dil = cv2.dilate(gt_b.astype(np.uint8), disk).astype(bool)
 

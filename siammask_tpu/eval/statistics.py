@@ -37,7 +37,11 @@ def calculate_accuracy(pred_trajectory, gt_trajectory, burnin=0,
                         pred[i + j] = [0]
     min_len = min(len(pred), len(gt_trajectory))
     overlaps = vot_overlap_traj(pred[:min_len], gt_trajectory[:min_len], bound)
-    acc = np.nanmean(overlaps) if len(overlaps) > 0 else 0
+    # guard the all-NaN case (e.g. a burnin window covering the whole fragment)
+    # before nanmean: it would warn 'Mean of empty slice' and return NaN
+    valid = np.asarray(overlaps)
+    valid = valid[~np.isnan(valid)]
+    acc = float(np.mean(valid)) if len(valid) > 0 else 0
     return acc, overlaps
 
 

@@ -117,12 +117,14 @@ class UP(nn.Module):
 class MaskCorr(nn.Module):
     """Mask head: each score-map cell predicts a flattened o_sz x o_sz mask."""
     o_sz: int = 63
+    hidden: int = 256
     xcorr_impl: str = "mm"
     dtype: Any = jnp.float32
     bn_axis: str | None = None
 
     def setup(self):
-        self.mask = DepthCorr(256, self.o_sz ** 2, xcorr_impl=self.xcorr_impl,
+        self.mask = DepthCorr(self.hidden, self.o_sz ** 2,
+                              xcorr_impl=self.xcorr_impl,
                               dtype=self.dtype, bn_axis=self.bn_axis,
                               name="mask")
 
@@ -228,6 +230,9 @@ class Refine(nn.Module):
     # default 0 keeps every conv on the MXU — correct for training and
     # batched serving; the batch-1 tracker opts in via the model knob.
     thin_conv_threshold: int = 0
+    # channel count of the per-cell corr vector (= the neck width; 256 at the
+    # real model width, scaled down with the model's width knob)
+    corr_features: int = 256
 
     def setup(self):
         d = self.dtype
@@ -238,7 +243,7 @@ class Refine(nn.Module):
         self.h2 = ConvReluBlock(32, 32, d, t, name="h2")
         self.h1 = ConvReluBlock(16, 16, d, t, name="h1")
         self.h0 = ConvReluBlock(4, 4, d, t, name="h0")
-        self.deconv = DeconvExpand(256, 32, 15, d, name="deconv")
+        self.deconv = DeconvExpand(self.corr_features, 32, 15, d, name="deconv")
         self.post0 = Conv3x3(16, d, t, name="post0")
         self.post1 = Conv3x3(4, d, t, name="post1")
         self.post2 = Conv3x3(1, d, t, name="post2")

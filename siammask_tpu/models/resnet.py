@@ -135,25 +135,32 @@ class ResNet50Tracking(nn.Module):
     Progressive unfreezing (`models/features.py:36-79`, `custom.py:37-41`): the
     stem and layer1 are NEVER trained (their BN always runs in eval); layer2 and
     layer3 switch to train-mode BN only once unfrozen at 50% training progress.
-    ``train_layer2``/``train_layer3`` carry those per-stage flags."""
+    ``train_layer2``/``train_layer3`` carry those per-stage flags.
+
+    ``width`` is the stem/base plane count (64 = the real ResNet-50). Reduced
+    widths keep the exact module tree, spatial flow, and stage structure while
+    shrinking every channel dim proportionally — used by the multi-chip dryrun
+    to validate the full dp/collective program shape within a compile budget."""
     dtype: Any = jnp.float32
     bn_axis: str | None = None
+    width: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False, train_layer2: bool = False,
                  train_layer3: bool = False):
         del train  # the stem/layer1 are permanently frozen (BN eval)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="VALID", use_bias=False,
+        w = self.width
+        x = nn.Conv(w, (7, 7), strides=(2, 2), padding="VALID", use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
                          name="bn1", **BN_KW)(x)
         p0 = nn.relu(x)
 
         x = nn.max_pool(p0, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
-        p1 = ResNetStage(64, 3, dtype=self.dtype, bn_axis=self.bn_axis,
+        p1 = ResNetStage(w, 3, dtype=self.dtype, bn_axis=self.bn_axis,
                          name="layer1")(x, False)
-        p2 = ResNetStage(128, 4, stride=2, dtype=self.dtype,
+        p2 = ResNetStage(2 * w, 4, stride=2, dtype=self.dtype,
                          bn_axis=self.bn_axis, name="layer2")(p1, train_layer2)
-        p3 = ResNetStage(256, 6, stride=1, dilation=2, dtype=self.dtype,
+        p3 = ResNetStage(4 * w, 6, stride=1, dilation=2, dtype=self.dtype,
                          bn_axis=self.bn_axis, name="layer3")(p2, train_layer3)
         return p0, p1, p2, p3

@@ -47,13 +47,17 @@ class SiamRPN(nn.Module):
     # cross-replica BN-stat sync axis (sync-BN; set inside shard_map via
     # model.clone(bn_axis="data")); None = local/global-batch stats
     bn_axis: str | None = None
+    # backbone base width; 64 = the real model. Reduced widths keep the exact
+    # module tree / spatial geometry (dryrun compile-budget knob).
+    width: int = 64
 
     def setup(self):
         self.backbone = ResNet50Tracking(dtype=self.dtype, bn_axis=self.bn_axis,
-                                         name="backbone")
-        self.neck = ResDownS(256, dtype=self.dtype, bn_axis=self.bn_axis,
-                             name="neck")
-        self.rpn = UP(self.anchor_num, xcorr_impl=self.xcorr_impl,
+                                         width=self.width, name="backbone")
+        self.neck = ResDownS(4 * self.width, dtype=self.dtype,
+                             bn_axis=self.bn_axis, name="neck")
+        self.rpn = UP(self.anchor_num, feature_out=4 * self.width,
+                      xcorr_impl=self.xcorr_impl,
                       dtype=self.dtype, bn_axis=self.bn_axis, name="rpn")
 
     def _features(self, x, train=False, train_layers=(False, False)):
@@ -86,15 +90,18 @@ class SiamMaskBase(nn.Module):
     xcorr_impl: str = "mm"
     dtype: Any = jnp.float32
     bn_axis: str | None = None
+    width: int = 64
 
     def setup(self):
         self.backbone = ResNet50Tracking(dtype=self.dtype, bn_axis=self.bn_axis,
-                                         name="backbone")
-        self.neck = ResDownS(256, dtype=self.dtype, bn_axis=self.bn_axis,
-                             name="neck")
-        self.rpn = UP(self.anchor_num, xcorr_impl=self.xcorr_impl,
+                                         width=self.width, name="backbone")
+        self.neck = ResDownS(4 * self.width, dtype=self.dtype,
+                             bn_axis=self.bn_axis, name="neck")
+        self.rpn = UP(self.anchor_num, feature_out=4 * self.width,
+                      xcorr_impl=self.xcorr_impl,
                       dtype=self.dtype, bn_axis=self.bn_axis, name="rpn")
-        self.mask_corr = MaskCorr(self.o_sz, xcorr_impl=self.xcorr_impl,
+        self.mask_corr = MaskCorr(self.o_sz, hidden=4 * self.width,
+                                  xcorr_impl=self.xcorr_impl,
                                   dtype=self.dtype, bn_axis=self.bn_axis,
                                   name="mask_corr")
 
@@ -139,19 +146,23 @@ class SiamMaskSharp(nn.Module):
     # (see heads.Conv3x3): 0 = MXU everywhere (training / batched serving);
     # the batch-1 tracker clones the model with 128 (tracker.py).
     thin_conv_threshold: int = 0
+    width: int = 64
 
     def setup(self):
         self.backbone = ResNet50Tracking(dtype=self.dtype, bn_axis=self.bn_axis,
-                                         name="backbone")
-        self.neck = ResDownS(256, dtype=self.dtype, bn_axis=self.bn_axis,
-                             name="neck")
-        self.rpn = UP(self.anchor_num, xcorr_impl=self.xcorr_impl,
+                                         width=self.width, name="backbone")
+        self.neck = ResDownS(4 * self.width, dtype=self.dtype,
+                             bn_axis=self.bn_axis, name="neck")
+        self.rpn = UP(self.anchor_num, feature_out=4 * self.width,
+                      xcorr_impl=self.xcorr_impl,
                       dtype=self.dtype, bn_axis=self.bn_axis, name="rpn")
-        self.mask_corr = MaskCorr(63, xcorr_impl=self.xcorr_impl,
+        self.mask_corr = MaskCorr(63, hidden=4 * self.width,
+                                  xcorr_impl=self.xcorr_impl,
                                   dtype=self.dtype, bn_axis=self.bn_axis,
                                   name="mask_corr")
         self.refine = Refine(dtype=self.dtype,
                              thin_conv_threshold=self.thin_conv_threshold,
+                             corr_features=4 * self.width,
                              name="refine")
 
     def _features(self, x, train=False, train_layers=(False, False)):

@@ -34,6 +34,8 @@ def multi_step_space(start_lr=0.01, end_lr=None, steps=(10, 20, 30, 40), mult=0.
         else:
             mult = math.pow(end_lr / start_lr, 1.0 / len(steps))
     lr = np.empty(epochs, dtype=np.float64)
+    if epochs == 0:  # reachable via warmup truncation (epochs == warm epochs)
+        return lr
     lr[0] = start_lr
     for i in range(1, epochs):
         lr[i] = lr[i - 1] * (mult if i in steps else 1.0)

@@ -172,24 +172,28 @@ def test_depthwise_xcorr_pallas_grads_match_mm():
     np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_m), rtol=1e-5)
 
 
+@pytest.mark.parametrize("shift_threshold", [0, 10_000])
 @pytest.mark.parametrize("ci,co", [(4, 1), (16, 4), (4, 4), (32, 16)])
-def test_conv3x3_lowerings_match_nn_conv(ci, co):
+def test_conv3x3_lowerings_match_nn_conv(ci, co, shift_threshold):
     """Both Conv3x3 lowerings (VPU shift-accumulate for thin channels, MXU conv
     for wide) must match flax nn.Conv bit-for-parameter: same param names and
-    shapes, same output. Gradients must also agree (the shift path is used
-    inside the Refine decoder during training)."""
+    shapes, same output. shift_threshold=0 forces the MXU conv path,
+    10_000 forces the shift path for every (ci, co) here — the lowering the
+    production batch-1 tracker uses. Gradients must also agree (the shift
+    path is used inside the Refine decoder during training)."""
     import flax.linen as nn
 
     from siammask_tpu.models.heads import Conv3x3
 
+    mod = Conv3x3(co, shift_threshold=shift_threshold)
     x = jnp.asarray(RNG.randn(2, 13, 13, ci), jnp.float32)
     ref = nn.Conv(co, (3, 3), padding=[(1, 1), (1, 1)])
     variables = ref.init(jax.random.PRNGKey(1), x)
-    got = Conv3x3(co).apply(variables, x)
+    got = mod.apply(variables, x)
     want = ref.apply(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
-    g_got = jax.grad(lambda v: jnp.sum(Conv3x3(co).apply(v, x) ** 2))(variables)
+    g_got = jax.grad(lambda v: jnp.sum(mod.apply(v, x) ** 2))(variables)
     g_want = jax.grad(lambda v: jnp.sum(ref.apply(v, x) ** 2))(variables)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),

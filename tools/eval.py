@@ -1,11 +1,12 @@
 """Offline evaluation over written result dirs: VOT EAO / Accuracy /
-Robustness, and DAVIS J&F (region similarity + boundary accuracy).
+Robustness, DAVIS J&F (region similarity + boundary accuracy), and
+YouTube-VOS J_s/J_u/F_s/F_u (seen/unseen category split).
 
 Mirrors the reference `tools/eval.py` for VOT (glob tracker result dirs by
 prefix, score AR then EAO, pretty table, process-pool fan-out over trackers);
-the DAVIS path evaluates the fused masks `tools/test.py --save_mask` writes —
-the reference had no DAVIS evaluator (its README J/F numbers came from the
-external DAVIS toolkit).
+the DAVIS and ytb_vos paths evaluate the fused masks `tools/test.py
+--save_mask` writes — the reference had no local evaluator for either (its
+README J/F numbers came from the external DAVIS toolkit / codalab server).
 """
 import argparse
 import sys
@@ -64,6 +65,35 @@ def main():
             print(f"|{name:^{name_len}}|{s['J_mean']:^8.3f}|{s['J_recall']:^10.3f}|"
                   f"{s['J_decay']:^9.3f}|{s['F_mean']:^8.3f}|"
                   f"{s['F_recall']:^10.3f}|{s['F_decay']:^9.3f}|")
+        print(bar)
+        return
+
+    if args.dataset == "ytb_vos":
+        from siammask_tpu.eval.datasets import load_dataset
+        from siammask_tpu.eval.ytb_vos import YTBVOSBenchmark
+
+        bench = YTBVOSBenchmark(load_dataset("ytb_vos", args.dataset_dir),
+                                args.result_dir, args.dataset,
+                                data_dir=args.dataset_dir)
+        results = {}
+        if args.num > 1 and len(trackers) > 1:
+            with Pool(min(args.num, len(trackers))) as pool:
+                for r in pool.imap_unordered(bench.eval, trackers):
+                    results.update(r)
+        else:
+            for t in trackers:
+                results.update(bench.eval(t))
+        summary = bench.summarize(results)
+        name_len = max(max(len(t) for t in trackers) + 2, 12)
+        header = (f"|{'Tracker Name':^{name_len}}|{'J_seen':^8}|{'J_unseen':^10}|"
+                  f"{'F_seen':^8}|{'F_unseen':^10}|{'Overall':^9}|")
+        bar = "-" * len(header)
+        print(bar + "\n" + header + "\n" + bar)
+        for name in sorted(trackers, key=lambda t: -summary[t]["overall"]):
+            s = summary[name]
+            print(f"|{name:^{name_len}}|{s['J_seen']:^8.3f}|"
+                  f"{s['J_unseen']:^10.3f}|{s['F_seen']:^8.3f}|"
+                  f"{s['F_unseen']:^10.3f}|{s['overall']:^9.3f}|")
         print(bar)
         return
 
