@@ -121,29 +121,47 @@ def _flops_per_frame(jitted, args, n_frames):
 
 
 def bench_train(args):
-    """Training-step throughput on one chip: SiamMask-base stage-1 layout
-    (batch of 127-template / 255-search pairs, full fwd+bwd+clip+SGD — the
-    configuration behind the reference's '~10 h on 4x V100' number)."""
-    from siammask_tpu.models.siammask import SiamMaskBase
+    """Training-step throughput on one chip.
+
+    Stage 1 (--train): SiamMask-base layout — batch of 127-template /
+    255-search pairs, full fwd+bwd+clip+SGD — the configuration behind the
+    reference's '~10 h on 4x V100' number.
+
+    Stage 2 (--train-refine): SiamMask-sharp refine layout — 143x143 search,
+    3x3 score grid, loss weight (0,0,36), optimizer over mask+refine params
+    only with backbone+rpn frozen in eval (reference
+    tools/train_siammask_refine.py:98-183, experiments/siammask_sharp/
+    config.json)."""
     from siammask_tpu.train.trainer import (OptimizerConfig, TrainSettings,
                                             build_optimizer, make_train_step)
 
-    model = SiamMaskBase(dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
-                         xcorr_impl=args.xcorr or "shift")
+    refine = getattr(args, "train_refine", False)
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     rng = np.random.RandomState(0)
+    if refine:
+        from siammask_tpu.models.siammask import SiamMaskSharp
+        model = SiamMaskSharp(dtype=dtype, xcorr_impl=args.xcorr or "shift")
+        search, size = 143, 3
+        settings = TrainSettings(task="sharp_refine",
+                                 loss_weight=(0.0, 0.0, 36.0), mask_pad=0)
+    else:
+        from siammask_tpu.models.siammask import SiamMaskBase
+        model = SiamMaskBase(dtype=dtype, xcorr_impl=args.xcorr or "shift")
+        search, size = 255, 25
+        settings = TrainSettings(task="base", loss_weight=(1.0, 1.2, 36.0),
+                                 mask_pad=32)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 127, 127, 3)),
-                           jnp.zeros((1, 255, 255, 3)))
+                           jnp.zeros((1, search, search, 3)))
 
-    settings = TrainSettings(task="base", loss_weight=(1.0, 1.2, 36.0),
-                             mask_pad=32)
     tx, _ = build_optimizer(variables["params"], OptimizerConfig(),
-                            unfreeze_backbone=args.unfrozen)
+                            unfreeze_backbone=args.unfrozen,
+                            train_refine_only=refine)
     step = make_train_step(model, settings, tx,
                            unfreeze_backbone=args.unfrozen, remat=args.remat)
     opt_state = tx.init(variables["params"])
 
-    b, k, size, search = args.batch, 5, 25, 255
+    b, k = args.batch, 5
     batch = {
         "template": jnp.asarray(rng.uniform(0, 255, (b, 127, 127, 3)), jnp.float32),
         "search": jnp.asarray(rng.uniform(0, 255, (b, search, search, 3)), jnp.float32),
@@ -226,10 +244,13 @@ def bench_train(args):
         extras["train_mfu_pct"] = round(mfu, 2)
         if mfu >= 100.0:
             extras["mfu_suspect"] = True
+    stage = "refine" if refine else "base"
     print(json.dumps({
-        "metric": f"siammask_base_train_samples_per_s_b{b}",
+        "metric": f"siammask_{stage}_train_samples_per_s_b{b}",
         "value": round(sps, 1),
         "unit": "samples/s",
+        # the reference trains both stages at the same data rate (20 epochs x
+        # 600k pairs in ~10 h on 4x V100; README.md:174, run.sh both stages)
         "vs_baseline": round(sps / BASELINE_TRAIN_SPS, 3),
         **extras,
     }))
@@ -268,6 +289,10 @@ def main():
                              "base stage-1 layout: batch of 127/255 pairs, "
                              "fwd+bwd+SGD on one chip); reports samples/s vs "
                              "the reference's 4xV100 training throughput")
+    parser.add_argument("--train-refine", action="store_true",
+                        help="benchmark the stage-2 refine training step "
+                             "(sharp 143x143 search, mask+refine params only, "
+                             "frozen-BN backbone+rpn)")
     parser.add_argument("--batch", type=int, default=64,
                         help="--train mode global batch (reference run.sh: 64)")
     parser.add_argument("--remat", action="store_true",
@@ -276,7 +301,7 @@ def main():
                         help="--train mode: epoch>=50%% phase (backbone "
                              "layer2/3 training; the expensive backward)")
     args = parser.parse_args()
-    if args.train:
+    if args.train or args.train_refine:
         return bench_train(args)
     from siammask_tpu.config import TrackerConfig
     from siammask_tpu.models.siammask import SiamMaskSharp

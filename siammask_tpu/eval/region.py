@@ -45,13 +45,17 @@ def _load():
 
 
 def _to_polygon(region) -> tuple[np.ndarray, np.ndarray]:
-    region = list(region)
-    if len(region) == 4:
-        x, y, w, h = region
-        pts = [x, y, x + w, y, x + w, y + h, x, y + h]
-    else:
-        pts = region
-    arr = np.asarray(pts, dtype=np.float32)
+    """Region -> (xs, ys). Accepts BOTH reference conventions: the pysot flat
+    list (len 4 = xywh rect, len 2N = polygon coords, region.pyx:151-230) and
+    the pyvotkit sequence of (x, y) point tuples (pyvotkit/region.pyx:107-123
+    — what the online tracker passes, tools/test.py:344-354)."""
+    arr = np.asarray(list(region), dtype=np.float32)
+    if arr.ndim == 2:                      # point-pair convention
+        return (np.ascontiguousarray(arr[:, 0]),
+                np.ascontiguousarray(arr[:, 1]))
+    if len(arr) == 4:                      # flat xywh rect
+        x, y, w, h = arr
+        arr = np.asarray([x, y, x + w, y, x + w, y + h, x, y + h], np.float32)
     return np.ascontiguousarray(arr[0::2]), np.ascontiguousarray(arr[1::2])
 
 

@@ -33,14 +33,26 @@ def unfold(x_nchw: jax.Array, kernel: tuple[int, int], padding: int = 0,
 
 def unfold_windows(x_nhwc: jax.Array, kernel: tuple[int, int], padding: int = 0,
                    stride: int = 1) -> jax.Array:
-    """(N, H, W, C) -> (N, L, kh, kw, C) sliding windows (row-major L)."""
-    n, _, _, c = x_nhwc.shape
+    """(N, H, W, C) -> (N, L, kh, kw, C) sliding windows (row-major L).
+
+    Lowered as two static-index row/column gathers, NOT
+    ``conv_general_dilated_patches``: XLA executes the patches op as a real
+    convolution whose identity kernel spans the whole window — for the Refine
+    skip windows (61x61 over 64 channels etc.) that is ~petaFLOPs of
+    multiply-by-zero per training step, measured 6x the entire step time of
+    the stage-2 refine layout. Gathers move exactly the window bytes.
+    """
+    n, h, w, c = x_nhwc.shape
     kh, kw = kernel
-    patches = lax.conv_general_dilated_patches(
-        jnp.transpose(x_nhwc, (0, 3, 1, 2)),
-        filter_shape=(kh, kw), window_strides=(stride, stride),
-        padding=[(padding, padding), (padding, padding)],
-    )  # (N, C*kh*kw, oh, ow)
-    l = patches.shape[2] * patches.shape[3]
-    patches = patches.reshape(n, c, kh, kw, l)
-    return jnp.transpose(patches, (0, 4, 2, 3, 1))
+    oh = (h + 2 * padding - kh) // stride + 1
+    ow = (w + 2 * padding - kw) // stride + 1
+    rows = (stride * jnp.arange(oh))[:, None] + jnp.arange(kh)[None, :] - padding
+    cols = (stride * jnp.arange(ow))[:, None] + jnp.arange(kw)[None, :] - padding
+    g = jnp.take(x_nhwc, jnp.clip(rows.reshape(-1), 0, h - 1), axis=1)
+    g = jnp.take(g, jnp.clip(cols.reshape(-1), 0, w - 1), axis=2)
+    if padding > 0:  # zero out the virtual-padding taps the clip folded in
+        rv = ((rows >= 0) & (rows < h)).reshape(-1)
+        cv = ((cols >= 0) & (cols < w)).reshape(-1)
+        g = g * (rv[None, :, None, None] & cv[None, None, :, None]).astype(g.dtype)
+    g = g.reshape(n, oh, kh, ow, kw, c)
+    return jnp.transpose(g, (0, 1, 3, 2, 4, 5)).reshape(n, oh * ow, kh, kw, c)

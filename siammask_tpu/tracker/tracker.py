@@ -18,7 +18,7 @@ clamping (test.py:305-308).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import cached_property, partial
 from typing import Any, NamedTuple
 
 import jax
@@ -242,13 +242,18 @@ class Tracker:
 
     # ---------------- batched multi-object (VOS) ----------------
 
+    @cached_property
+    def _init_vmap(self):
+        return jax.jit(jax.vmap(self._init_impl, in_axes=(None, None, 0, 0)))
+
+    @cached_property
+    def _step_vmap(self):
+        return jax.jit(jax.vmap(self._step_impl_multi, in_axes=(None, 0, None)))
+
     def init_batched(self, variables, frame, target_pos, target_sz) -> TrackState:
         """Init O independent object trackers on one frame: target_pos/target_sz
         are (O, 2); returns a TrackState with leading object axis. The batched
         template pass shares one backbone program across objects."""
-        if not hasattr(self, "_init_vmap"):
-            self._init_vmap = jax.jit(jax.vmap(self._init_impl,
-                                               in_axes=(None, None, 0, 0)))
         return self._init_vmap(variables, frame,
                                jnp.asarray(target_pos, jnp.float32),
                                jnp.asarray(target_sz, jnp.float32))
@@ -258,9 +263,6 @@ class Tracker:
         configuration: backbone/heads run with batch=O on the MXU instead of O
         sequential passes (the reference tracks objects sequentially,
         tools/test.py:481-504)."""
-        if not hasattr(self, "_step_vmap"):
-            self._step_vmap = jax.jit(jax.vmap(self._step_impl_multi,
-                                               in_axes=(None, 0, None)))
         return self._step_vmap(variables, states, frame)
 
     # ---------------- whole-video scan ----------------

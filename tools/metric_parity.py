@@ -135,12 +135,25 @@ def main():
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     parser.add_argument("--precision", default="float32",
                         choices=["default", "float32"])
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="OUR model's compute dtype (the bench headlines "
+                             "bfloat16; the reference always runs fp32 torch) "
+                             "— measures the bf16 deployment metric delta")
     parser.add_argument("--xcorr", default="shift",
                         choices=["mm", "conv", "shift", "pallas"])
     parser.add_argument("--work-dir", default="/tmp/metric_parity")
     parser.add_argument("--append", action="store_true",
                         help="append the delta table to PARITY_METRICS.md")
     parser.add_argument("--skip-vos", action="store_true")
+    parser.add_argument("--box-only", action="store_true",
+                        help="report axis-aligned boxes instead of mask-"
+                             "derived rotated polygons (reference --mask off "
+                             "mode). Isolates protocol+trajectory parity from "
+                             "the minAreaRect contour noise of tempered-"
+                             "random masks; implies --skip-vos")
+    parser.add_argument("--json-out", default=None,
+                        help="also write the result JSON to this path")
     args = parser.parse_args()
 
     if args.platform:
@@ -174,7 +187,7 @@ def main():
     parity_report.temper_reference_net(net, frames[0])
 
     # ---- our stack, same weights
-    import jax.numpy as jnp  # noqa: F401
+    import jax.numpy as jnp
 
     from siammask_tpu.config import TrackerConfig
     from siammask_tpu.models.siammask import SiamMaskSharp
@@ -186,8 +199,13 @@ def main():
     variables = convert_state_dict(
         {k: v.detach().numpy() for k, v in net.state_dict().items()})
     p = TrackerConfig().update(HP, ANCHORS)
-    runtime = TrackerRuntime(SiamMaskSharp(xcorr_impl=args.xcorr), variables,
-                             p, mask=True, refine=True)
+    our_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
+    mask_on = not args.box_only
+    if args.box_only:
+        args.skip_vos = True
+    runtime = TrackerRuntime(
+        SiamMaskSharp(xcorr_impl=args.xcorr, dtype=our_dtype), variables,
+        p, mask=mask_on, refine=mask_on)
 
     pos0 = np.array([336.0, 175.0])
     sz0 = np.array([56.0, 140.0])
@@ -234,12 +252,12 @@ def main():
             try:
                 import torch
                 with torch.no_grad():
-                    ref_test.track_vot(net, video, hp=HP, mask_enable=True,
-                                       refine_enable=True, device="cpu")
+                    ref_test.track_vot(net, video, hp=HP, mask_enable=mask_on,
+                                       refine_enable=mask_on, device="cpu")
             finally:
                 os.chdir(cwd)
             print(f"VOT protocol ({name}): ours...", flush=True)
-            track_vot(runtime, video, dataset="VOT2018",
+            track_vot(runtime, video, dataset="VOT2018", mask_enable=mask_on,
                       result_dir=join(root, "test"), tracker_name="ours")
 
         # ---- VOS: pseudo-gt annos from the reference's no-reset masks
@@ -280,8 +298,9 @@ def main():
             finally:
                 os.chdir(cwd)
             print("VOS fusion: ours...", flush=True)
-            runtime_vos = TrackerRuntime(SiamMaskSharp(xcorr_impl=args.xcorr),
-                                         variables, p, mask=True, refine=True)
+            runtime_vos = TrackerRuntime(
+                SiamMaskSharp(xcorr_impl=args.xcorr, dtype=our_dtype),
+                variables, p, mask=True, refine=True)
             track_vos(runtime_vos, vos_video, mot_enable=False,
                       result_dir=join(root, "test"), dataset="DAVISp",
                       tracker_name="ours", save_mask=True, log=lambda *a: None)
@@ -304,7 +323,8 @@ def main():
                                               EAOBenchmark)
     from siammask_tpu.eval.datasets import VOTDataset
 
-    ref_tree_name = "ref_mask_refine_w"   # arch_mask_refine_<resume stem>
+    # reference naming: arch + mask_/refine_ markers + resume stem
+    ref_tree_name = "ref_" + ("mask_refine_" if mask_on else "") + "w"
     tracker_root = join(root, "test", "VOT2018")
     assert exists(join(tracker_root, ref_tree_name)), os.listdir(tracker_root)
 
@@ -324,8 +344,9 @@ def main():
 
     out = {
         "settings": {"platform": args.platform or "axon-default",
-                     "precision": args.precision, "xcorr": args.xcorr,
-                     "videos": len(videos),
+                     "precision": args.precision, "dtype": args.dtype,
+                     "xcorr": args.xcorr, "videos": len(videos),
+                     "report": "box" if args.box_only else "mask-polygon",
                      "frames_per_video": len(videos["v0"]["frames"])},
         "tracker_deltas": {
             m: abs(scores["ref"]["our_eval"][m] - scores["ours"]["our_eval"][m])
@@ -343,6 +364,9 @@ def main():
         out["tracker_deltas"]["F"] = abs(vos_summary["ref"]["F_mean"]
                                          - vos_summary["ours"]["F_mean"])
     print(json.dumps(out, indent=2))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(out, f, indent=2)
 
     if args.append:
         d = out["tracker_deltas"]
@@ -374,7 +398,8 @@ over tennis pseudo-sequences ({out['settings']['videos']} videos x
 {out['settings']['frames_per_video']} frames, 2 forced failures each); both
 result trees scored with our eval AND the reference pysot eval (numba-stubbed).
 Settings: platform={out['settings']['platform']},
-precision={args.precision}, xcorr={args.xcorr}.
+precision={args.precision}, dtype={args.dtype}, xcorr={args.xcorr},
+report={out['settings']['report']}.
 
 | metric | reference stack | our stack | delta |
 |---|---|---|---|

@@ -13,20 +13,30 @@ sys.path.insert(0, dirname(dirname(realpath(__file__))))
 import numpy as np
 
 
-def build_model(arch: str, anchor_num: int = 5, xcorr_impl: str = "shift"):
+def build_model(arch: str, anchor_num: int = 5, xcorr_impl: str = "shift",
+                dtype: str = "float32"):
     """Inference defaults to the shift-accumulate xcorr lowering — at tracking
     batch sizes it is ~3x faster than im2col on TPU (latency/bandwidth bound;
     see ops/xcorr.py depthwise_xcorr_shift). Training also defaults to shift
     (tools/train.py --xcorr): at batch 64 the im2col matmul is a per-batch-
-    element matvec (N=1) the MXU runs at 1.5 TFLOP/s — 1.8x whole-step win."""
+    element matvec (N=1) the MXU runs at 1.5 TFLOP/s — 1.8x whole-step win.
+
+    ``dtype`` selects the compute dtype (params stay fp32): 'float32' is the
+    metrics default; 'bfloat16' is the throughput mode the bench headlines
+    (its metric delta is pinned in PARITY_METRICS.md)."""
+    import jax.numpy as jnp
+
     from siammask_tpu.models.siammask import SiamMaskBase, SiamMaskSharp, SiamRPN
 
+    dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
     if arch in ("Custom", "SiamMaskSharp"):
-        return SiamMaskSharp(anchor_num=anchor_num, xcorr_impl=xcorr_impl)
+        return SiamMaskSharp(anchor_num=anchor_num, xcorr_impl=xcorr_impl,
+                             dtype=dt)
     if arch == "SiamMaskBase":
-        return SiamMaskBase(anchor_num=anchor_num, xcorr_impl=xcorr_impl)
+        return SiamMaskBase(anchor_num=anchor_num, xcorr_impl=xcorr_impl,
+                            dtype=dt)
     if arch in ("SiamRPN",):
-        return SiamRPN(anchor_num=anchor_num, xcorr_impl=xcorr_impl)
+        return SiamRPN(anchor_num=anchor_num, xcorr_impl=xcorr_impl, dtype=dt)
     raise ValueError(f"unknown arch {arch!r}")
 
 
@@ -72,6 +82,12 @@ def main():
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                         help="force the JAX backend (the reference's --cpu flag "
                              "analogue; overrides any sitecustomize pin)")
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="model compute dtype (params stay fp32). float32 "
+                             "is the metrics default; bfloat16 trades a "
+                             "measured metric delta (PARITY_METRICS.md) for "
+                             "the bench's headline throughput")
     args = parser.parse_args()
 
     if args.platform:
@@ -85,7 +101,7 @@ def main():
     from siammask_tpu.tracker.vot import track_vot
 
     cfg = Config.load(args.config)
-    model = build_model(cfg.arch, cfg.anchors.anchor_num)
+    model = build_model(cfg.arch, cfg.anchors.anchor_num, dtype=args.dtype)
     variables = load_variables(model, args.resume)
     p = cfg.tracker_config()
 
