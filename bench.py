@@ -321,7 +321,9 @@ def main():
     tracker = Tracker(model, p, mask=True, refine=True)
 
     im_h, im_w = 480, 854  # DAVIS frame geometry
-    frame = jnp.asarray(rng.uniform(0, 255, (im_h, im_w, 3)), jnp.float32)
+    # uint8 frames, as decoded video actually arrives (and 4x less HBM for the
+    # per-frame slice of the stacked scan input); the step casts on device
+    frame = jnp.asarray(rng.uniform(0, 255, (im_h, im_w, 3)), jnp.uint8)
 
     extras = {}
     peak = PEAK_FLOPS.get(os.environ.get("PALLAS_AXON_TPU_GEN", "v5e"))

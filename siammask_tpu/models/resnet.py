@@ -23,10 +23,84 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from flax.linen.dtypes import promote_dtype
 
 # torch BatchNorm defaults: eps=1e-5, momentum=0.1 (flax momentum = 1 - 0.1).
 BN_KW = dict(epsilon=1e-5, momentum=0.9)
+
+
+class SpaceToDepthStem(nn.Module):
+    """The 7x7/stride-2 VALID stem conv, lowered as block-2 space-to-depth +
+    4x4/stride-1 conv over 12 channels.
+
+    A direct 7x7 conv over C_in=3 contracts only 3 of the MXU's 128 reduction
+    lanes per tap — profiled at 78.5us + a 26.3us input layout copy per 255^2
+    search frame (3.7 TFLOP/s, ~20% of the whole tracking step). Re-blocking
+    pixels 2x2 into channels turns the same linear map into a 4x4 conv with a
+    12-deep contraction: output (a_y, a_x) sums x[2a_y+ky, 2a_x+kx] * k[ky, kx]
+    for ky,kx in 0..6 either way — the kernel is zero-padded to 8x8 so the
+    extra (ky==7 or kx==7) taps contribute nothing, which also makes the
+    odd-size zero row/col pad (255 -> 256) exact: padded pixels are only ever
+    multiplied by those zero taps.
+
+    The parameter stays ``kernel (7, 7, 3, features)`` — checkpoints, the
+    torch .pth importer, and init statistics are unchanged vs nn.Conv.
+    """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, self.features))
+        x, kernel = promote_dtype(x, kernel, dtype=self.dtype)
+        k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        w4 = k8.reshape(4, 2, 4, 2, 3, self.features)
+        w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, self.features)
+
+        b, h, w, c = x.shape
+        hp, wp = -h % 2, -w % 2
+        if hp or wp:
+            x = jnp.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)))
+        h2, w2 = (h + hp) // 2, (w + wp) // 2
+        # Row-phase split instead of a 6-D reshape+transpose: the transpose
+        # relayouts 2x2 pixel blocks across the tiled layout (profiled at
+        # 110us per 255^2 frame — more than the conv it feeds); two
+        # row-strided slices + a minor-dim (W, C) -> (W/2, 2C) merge + channel
+        # concat express the same permutation with row-major-contiguous moves
+        # XLA fuses. Channel order is (sy, sx, c), matching w4 above.
+        x_even = x[:, 0::2].reshape(b, h2, w2, 2 * c)
+        x_odd = x[:, 1::2].reshape(b, h2, w2, 2 * c)
+        xs = jnp.concatenate([x_even, x_odd], axis=-1)
+        return jax.lax.conv_general_dilated(
+            xs, w4, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def maxpool_3x3s2_p1_slices(x: jax.Array) -> jax.Array:
+    """3x3/stride-2/pad-1 max pool as an elementwise max of 9 strided slices.
+
+    Same result as nn.max_pool (pad with -inf, max over the window), but
+    lowered as slices + maximum, which XLA fuses into one loop fusion instead
+    of a reduce-window op (profiled at 92 GB/s effective — far under HBM —
+    on the stem's 125^2 x 64 map).
+    """
+    b, h, w, c = x.shape
+    neg = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
+    h_out = (h + 2 - 3) // 2 + 1
+    w_out = (w + 2 - 3) // 2 + 1
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            part = jax.lax.slice(
+                xp, (0, dy, dx, 0),
+                (b, dy + 2 * (h_out - 1) + 1, dx + 2 * (w_out - 1) + 1, c),
+                (1, 2, 2, 1))
+            out = part if out is None else jnp.maximum(out, part)
+    return out
 
 
 class Bottleneck(nn.Module):
@@ -144,19 +218,34 @@ class ResNet50Tracking(nn.Module):
     dtype: Any = jnp.float32
     bn_axis: str | None = None
     width: int = 64
+    # lower the stem via space-to-depth (see SpaceToDepthStem); False keeps the
+    # direct 7x7 nn.Conv (same params either way — this is a lowering choice)
+    stem_s2d: bool = True
+    # lower the stem max pool as 9 strided slices + max instead of
+    # reduce-window (see maxpool_3x3s2_p1_slices). Measured on chip: the 9
+    # 2-D strided slices cost ~37us EACH (unfused) vs 27us for the whole
+    # reduce-window — keep reduce-window; the flag records the experiment
+    maxpool_slices: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, train_layer2: bool = False,
                  train_layer3: bool = False):
         del train  # the stem/layer1 are permanently frozen (BN eval)
         w = self.width
-        x = nn.Conv(w, (7, 7), strides=(2, 2), padding="VALID", use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        if self.stem_s2d:
+            x = SpaceToDepthStem(w, dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(w, (7, 7), strides=(2, 2), padding="VALID",
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
                          name="bn1", **BN_KW)(x)
         p0 = nn.relu(x)
 
-        x = nn.max_pool(p0, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.maxpool_slices:
+            x = maxpool_3x3s2_p1_slices(p0)
+        else:
+            x = nn.max_pool(p0, (3, 3), strides=(2, 2),
+                            padding=[(1, 1), (1, 1)])
         p1 = ResNetStage(w, 3, dtype=self.dtype, bn_axis=self.bn_axis,
                          name="layer1")(x, False)
         p2 = ResNetStage(2 * w, 4, stride=2, dtype=self.dtype,

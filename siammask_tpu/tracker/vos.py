@@ -92,7 +92,10 @@ def track_vos_batched(runtime, video: dict, mot_enable: bool = True,
     variables = runtime.variables
     toc = 0.0
     tic = time.perf_counter()
-    frame0 = jnp.asarray(cv2.imread(image_files[0]), jnp.float32)
+    # uint8 upload: 4x cheaper H2D than fp32, and the on-device per-frame
+    # slice of the stacked video reads 4x less HBM; the jitted step casts
+    # (tracks bit-identically — tests/test_tracker_slow.py)
+    frame0 = jnp.asarray(cv2.imread(image_files[0]))
     states = tracker.init_batched(variables, frame0, np.array(pos0),
                                   np.array(sz0))
     toc += time.perf_counter() - tic
@@ -118,13 +121,13 @@ def track_vos_batched(runtime, video: dict, mot_enable: bool = True,
         tic = time.perf_counter()
         if end - f == scan_chunk:                   # full window: one scan
             states, outs = tracker.track_video_multi(
-                variables, states, jnp.asarray(imgs, jnp.float32))
+                variables, states, jnp.asarray(imgs))
             chunk_masks = [outs.mask_in_frame]      # (T, O, H, W)
         else:                                       # ragged tail: per-frame
             chunk_masks = []
             for i in range(imgs.shape[0]):
                 states, o = tracker.step_batched(
-                    variables, states, jnp.asarray(imgs[i], jnp.float32))
+                    variables, states, jnp.asarray(imgs[i]))
                 chunk_masks.append(o.mask_in_frame)
         if pending is not None:
             materialize(pending)

@@ -21,8 +21,12 @@ jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: the training-step tests compile several large
 # fwd+bwd programs — cache them across runs. Lives under $HOME (not /tmp) so it
 # survives host reboots; shared with __graft_entry__'s dryrun child.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/siammask_tpu_xla"))
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from siammask_tpu.utils.cachedir import machine_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", machine_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -1,0 +1,101 @@
+"""SpaceToDepthStem must be numerically identical to the direct 7x7/2 VALID
+conv it lowers (same params, same linear map — reference resnet.py:154), for
+values AND gradients, on every spatial size the model feeds it (search 255,
+template 127, odd/even off-sizes).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from siammask_tpu.models.resnet import ResNet50Tracking, SpaceToDepthStem
+
+import flax.linen as nn
+
+
+def _direct_stem(kernel, x):
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("hw", [(255, 255), (127, 127), (130, 131), (17, 24)])
+def test_s2d_stem_matches_direct_conv(hw):
+    h, w = hw
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32)) * 50.0
+    mod = SpaceToDepthStem(16)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    kernel = variables["params"]["kernel"]
+    assert kernel.shape == (7, 7, 3, 16)
+
+    got = mod.apply(variables, x)
+    want = _direct_stem(kernel, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_s2d_stem_gradients_match():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 63, 63, 3).astype(np.float32))
+    mod = SpaceToDepthStem(8)
+    variables = mod.init(jax.random.PRNGKey(1), x)
+
+    def loss_s2d(v, x):
+        return jnp.sum(jnp.sin(mod.apply(v, x)))
+
+    def loss_direct(v, x):
+        return jnp.sum(jnp.sin(_direct_stem(v["params"]["kernel"], x)))
+
+    g1 = jax.grad(loss_s2d)(variables, x)["params"]["kernel"]
+    g2 = jax.grad(loss_direct)(variables, x)["params"]["kernel"]
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
+
+    gx1 = jax.grad(loss_s2d, argnums=1)(variables, x)
+    gx2 = jax.grad(loss_direct, argnums=1)(variables, x)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_backbone_agrees_across_stem_lowerings():
+    """Same params through stem_s2d=True/False backbones -> same features."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 127, 127, 3).astype(np.float32)) * 20.0
+    m_a = ResNet50Tracking(width=16, stem_s2d=True)
+    m_b = ResNet50Tracking(width=16, stem_s2d=False)
+    variables = m_a.init(jax.random.PRNGKey(2), x)
+    # identical param trees: the lowering adds/renames nothing
+    vb = m_b.init(jax.random.PRNGKey(3), x)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(vb))
+    outs_a = m_a.apply(variables, x)
+    outs_b = m_b.apply(variables, x)
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("hw", [(125, 125), (61, 61), (30, 33)])
+def test_maxpool_slices_matches_reduce_window(hw):
+    from siammask_tpu.models.resnet import maxpool_3x3s2_p1_slices
+    h, w = hw
+    rng = np.random.RandomState(3)
+    # post-ReLU-like input incl. tied zeros (the real stem feed)
+    x = jnp.asarray(np.maximum(rng.randn(2, h, w, 16), 0.0)
+                    .astype(np.float32))
+    want = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+    got = maxpool_3x3s2_p1_slices(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_s2d_stem_is_default_and_param_compatible():
+    """The flagship default uses s2d; nn.Conv-era checkpoints load unchanged."""
+    x = jnp.zeros((1, 127, 127, 3), jnp.float32)
+    m = ResNet50Tracking(width=8)
+    v = m.init(jax.random.PRNGKey(0), x)
+    ref = nn.Conv(8, (7, 7), strides=(2, 2), padding="VALID", use_bias=False)
+    vc = ref.init(jax.random.PRNGKey(0), x)
+    assert (v["params"]["conv1"]["kernel"].shape
+            == vc["params"]["kernel"].shape)
