@@ -219,8 +219,12 @@ class ResNet50Tracking(nn.Module):
     bn_axis: str | None = None
     width: int = 64
     # lower the stem via space-to-depth (see SpaceToDepthStem); False keeps the
-    # direct 7x7 nn.Conv (same params either way — this is a lowering choice)
-    stem_s2d: bool = True
+    # direct 7x7 nn.Conv (same params either way — this is a lowering choice).
+    # s2d wins decisively at batch 1 (-70us/frame, the tracker's latency
+    # clone turns it on); at batch 64 training it measured ~1% slower (the
+    # phase-split data movement scales with batch while the MXU amortizes the
+    # C_in=3 waste), so throughput paths keep the direct conv.
+    stem_s2d: bool = False
     # lower the stem max pool as 9 strided slices + max instead of
     # reduce-window (see maxpool_3x3s2_p1_slices). Measured on chip: the 9
     # 2-D strided slices cost ~37us EACH (unfused) vs 27us for the whole

@@ -50,10 +50,15 @@ class SiamRPN(nn.Module):
     # backbone base width; 64 = the real model. Reduced widths keep the exact
     # module tree / spatial geometry (dryrun compile-budget knob).
     width: int = 64
+    # space-to-depth stem lowering (resnet.SpaceToDepthStem): a batch-1
+    # latency win; the Tracker's single-stream clone turns it on
+    stem_s2d: bool = False
 
     def setup(self):
         self.backbone = ResNet50Tracking(dtype=self.dtype, bn_axis=self.bn_axis,
-                                         width=self.width, name="backbone")
+                                         width=self.width,
+                                         stem_s2d=self.stem_s2d,
+                                         name="backbone")
         self.neck = ResDownS(4 * self.width, dtype=self.dtype,
                              bn_axis=self.bn_axis, name="neck")
         self.rpn = UP(self.anchor_num, feature_out=4 * self.width,
@@ -91,10 +96,13 @@ class SiamMaskBase(nn.Module):
     dtype: Any = jnp.float32
     bn_axis: str | None = None
     width: int = 64
+    stem_s2d: bool = False  # see SiamRPN.stem_s2d
 
     def setup(self):
         self.backbone = ResNet50Tracking(dtype=self.dtype, bn_axis=self.bn_axis,
-                                         width=self.width, name="backbone")
+                                         width=self.width,
+                                         stem_s2d=self.stem_s2d,
+                                         name="backbone")
         self.neck = ResDownS(4 * self.width, dtype=self.dtype,
                              bn_axis=self.bn_axis, name="neck")
         self.rpn = UP(self.anchor_num, feature_out=4 * self.width,
@@ -147,10 +155,13 @@ class SiamMaskSharp(nn.Module):
     # the batch-1 tracker clones the model with 128 (tracker.py).
     thin_conv_threshold: int = 0
     width: int = 64
+    stem_s2d: bool = False  # see SiamRPN.stem_s2d
 
     def setup(self):
         self.backbone = ResNet50Tracking(dtype=self.dtype, bn_axis=self.bn_axis,
-                                         width=self.width, name="backbone")
+                                         width=self.width,
+                                         stem_s2d=self.stem_s2d,
+                                         name="backbone")
         self.neck = ResDownS(4 * self.width, dtype=self.dtype,
                              bn_axis=self.bn_axis, name="neck")
         self.rpn = UP(self.anchor_num, feature_out=4 * self.width,

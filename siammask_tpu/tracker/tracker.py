@@ -82,13 +82,17 @@ class Tracker:
         self.model = model
         # Latency-optimized clone for the batch-1 single-stream paths: the
         # Refine tail's thin convs switch to the VPU shift lowering (wins only
-        # at batch 1 — see heads.Conv3x3). Batched paths (vmap hides the
-        # stream count from the module) and training keep the MXU default.
-        # Same parameter tree, so `variables` are interchangeable.
+        # at batch 1 — see heads.Conv3x3) and the backbone stem to the
+        # space-to-depth lowering (resnet.SpaceToDepthStem: -70us/frame at
+        # batch 1; ~neutral-to-slightly-negative at batch 64, so training and
+        # batched serving keep the direct conv). Batched paths (vmap hides
+        # the stream count from the module) and training keep the MXU
+        # defaults. Same parameter tree, so `variables` are interchangeable.
         try:
-            self.model_single = model.clone(thin_conv_threshold=128)
+            self.model_single = model.clone(thin_conv_threshold=128,
+                                            stem_s2d=True)
         except TypeError:  # model without a Refine decoder (base / siamrpn)
-            self.model_single = model
+            self.model_single = model.clone(stem_s2d=True)
         self.p = p
         self.mask_enable = mask
         self.refine_enable = refine

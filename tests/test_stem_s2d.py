@@ -1,7 +1,8 @@
 """SpaceToDepthStem must be numerically identical to the direct 7x7/2 VALID
 conv it lowers (same params, same linear map — reference resnet.py:154), for
 values AND gradients, on every spatial size the model feeds it (search 255,
-template 127, odd/even off-sizes).
+template 127, odd/even off-sizes). The Tracker's batch-1 latency clone turns
+it on (tracker.py); training / batched serving keep the direct conv.
 """
 import jax
 import jax.numpy as jnp
@@ -90,10 +91,21 @@ def test_maxpool_slices_matches_reduce_window(hw):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_s2d_stem_is_default_and_param_compatible():
-    """The flagship default uses s2d; nn.Conv-era checkpoints load unchanged."""
+def test_tracker_latency_clone_uses_s2d_stem():
+    """Batch-1 clone: s2d stem + shift thin convs; batched model: MXU defaults."""
+    from siammask_tpu.config import TrackerConfig
+    from siammask_tpu.models.siammask import SiamMaskSharp
+    from siammask_tpu.tracker.tracker import Tracker
+
+    t = Tracker(SiamMaskSharp(), TrackerConfig(), mask=True, refine=True)
+    assert t.model_single.stem_s2d and t.model_single.thin_conv_threshold > 0
+    assert not t.model.stem_s2d and t.model.thin_conv_threshold == 0
+
+
+def test_s2d_stem_is_param_compatible():
+    """nn.Conv-era checkpoints load unchanged under the s2d lowering."""
     x = jnp.zeros((1, 127, 127, 3), jnp.float32)
-    m = ResNet50Tracking(width=8)
+    m = ResNet50Tracking(width=8, stem_s2d=True)
     v = m.init(jax.random.PRNGKey(0), x)
     ref = nn.Conv(8, (7, 7), strides=(2, 2), padding="VALID", use_bias=False)
     vc = ref.init(jax.random.PRNGKey(0), x)
