@@ -92,6 +92,8 @@ def main():
                         help="rows in the per-op table")
     parser.add_argument("--all-pids", action="store_true",
                         help="include host lanes, not just device ones")
+    parser.add_argument("--long", action="store_true",
+                        help="print each top op's HLO long_name + source")
     args = parser.parse_args()
 
     events = load_trace_events(args.trace_dir)
@@ -108,6 +110,7 @@ def main():
     # inside it on its lane.
     op_lanes = op_lane_tids(events, pids) if not args.all_pids else set()
     by_lane = collections.defaultdict(list)
+    meta = {}  # name -> args dict of the first event seen (shared per op)
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
@@ -117,6 +120,8 @@ def main():
             continue
         by_lane[(e.get("pid"), e.get("tid"))].append(
             (e["ts"], e["ts"] + e["dur"], e["name"], e["dur"]))
+        if e["name"] not in meta and e.get("args"):
+            meta[e["name"]] = e["args"]
 
     per_op = collections.Counter()
     per_op_n = collections.Counter()
@@ -144,20 +149,39 @@ def main():
         print("no complete events found")
         return
 
+    # Prefer the profiler's own hlo_category (present in XLA:TPU traces;
+    # distinguishes convolution fusions from loop fusions, which the bare op
+    # name cannot) and fall back to name-pattern matching.
     per_cat = collections.Counter()
+    per_src = collections.Counter()
     for name, dur in per_op.items():
-        per_cat[categorize(name)] += dur
+        a = meta.get(name, {})
+        per_cat[a.get("hlo_category") or categorize(name)] += dur
+        src = a.get("source")
+        if src:
+            per_src["/".join(src.split("/")[-2:])] += dur
 
     print(f"device lanes: {sorted(pids.values()) or 'ALL'}")
     print(f"total device time: {total / 1e3:.3f} ms\n")
     print(f"{'category':<28}{'ms':>10}{'%':>8}")
     for cat, dur in per_cat.most_common():
         print(f"{cat:<28}{dur / 1e3:>10.3f}{100 * dur / total:>7.1f}%")
+    if per_src:
+        print(f"\n{'source line (top ' + str(args.top) + ')':<52}{'ms':>9}{'%':>7}")
+        for src, dur in per_src.most_common(args.top):
+            print(f"{src[-50:]:<52}{dur / 1e3:>9.3f}{100 * dur / total:>6.1f}%")
+
     print(f"\n{'op (top ' + str(args.top) + ')':<52}{'ms':>9}{'%':>7}{'calls':>8}")
     for name, dur in per_op.most_common(args.top):
         label = name if len(name) <= 50 else name[:47] + "..."
         print(f"{label:<52}{dur / 1e3:>9.3f}{100 * dur / total:>6.1f}%"
               f"{per_op_n[name]:>8}")
+        a = meta.get(name, {})
+        if args.long and a.get("long_name"):
+            src = a.get("source", "")
+            print(f"    {a['long_name'][:120]}")
+            if src:
+                print(f"    @ {src}")
 
 
 if __name__ == "__main__":
