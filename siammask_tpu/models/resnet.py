@@ -103,6 +103,40 @@ def maxpool_3x3s2_p1_slices(x: jax.Array) -> jax.Array:
     return out
 
 
+def maxpool_3x3s2_p1_phase(x: jax.Array) -> jax.Array:
+    """3x3/stride-2/pad-1 max pool via even/odd phase splitting.
+
+    Same result as nn.max_pool, but lowered with the s2d-stem trick (see
+    SpaceToDepthStem): stride-2 access along W becomes a contiguous
+    (W, C) -> (W/2, 2C) minor-dim merge and along H two row-phase strided
+    slices — all fusable moves — followed by plain elementwise maximums.
+    out[i] = max(xp[2i], xp[2i+1], xp[2i+2]) where xp is the pad-1 input, so
+    each axis needs the pair-max of phases plus the even phase shifted by one:
+    max3[i] = max(even[i], odd[i], even[i+1]).
+
+    The reduce-window lowering profiled at 27.6 us/frame on the stem's
+    125^2 x 64 map (91 GB/s effective — window shuffles on the VPU, far under
+    HBM); 2-D strided slices materialize ~37 us copies EACH (the round-2
+    attempt). This lowering keeps every move contiguous in the tiled layout.
+    """
+    b, h, w, c = x.shape
+    neg = jnp.asarray(jnp.finfo(x.dtype).min, x.dtype)
+    h_out = (h + 2 - 3) // 2 + 1
+    w_out = (w + 2 - 3) // 2 + 1
+    # --- W axis: pad 1 left, extend right to 2*(w_out+1) for the pair merge
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 2 * (w_out + 1) - w - 1), (0, 0)),
+                 constant_values=neg)
+    xs = xp.reshape(b, h, w_out + 1, 2 * c)  # [..., :c] even, [..., c:] odd
+    wmax = jnp.maximum(jnp.maximum(xs[:, :, :w_out, :c], xs[:, :, :w_out, c:]),
+                       xs[:, :, 1:, :c])
+    # --- H axis: same via row-phase strided slices
+    yp = jnp.pad(wmax, ((0, 0), (1, 2 * (h_out + 1) - h - 1), (0, 0), (0, 0)),
+                 constant_values=neg)
+    even, odd = yp[:, 0::2], yp[:, 1::2]  # (b, h_out + 1, w_out, c) each
+    return jnp.maximum(jnp.maximum(even[:, :h_out], odd[:, :h_out]),
+                       even[:, 1:])
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3(stride/dilation) -> 1x1 bottleneck with optional downsample."""
     planes: int
@@ -230,6 +264,9 @@ class ResNet50Tracking(nn.Module):
     # 2-D strided slices cost ~37us EACH (unfused) vs 27us for the whole
     # reduce-window — keep reduce-window; the flag records the experiment
     maxpool_slices: bool = False
+    # phase-split maxpool lowering (maxpool_3x3s2_p1_phase): contiguous
+    # moves + elementwise max; the tracker's latency clone turns it on
+    maxpool_phase: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, train_layer2: bool = False,
@@ -245,7 +282,9 @@ class ResNet50Tracking(nn.Module):
                          name="bn1", **BN_KW)(x)
         p0 = nn.relu(x)
 
-        if self.maxpool_slices:
+        if self.maxpool_phase:
+            x = maxpool_3x3s2_p1_phase(p0)
+        elif self.maxpool_slices:
             x = maxpool_3x3s2_p1_slices(p0)
         else:
             x = nn.max_pool(p0, (3, 3), strides=(2, 2),

@@ -53,11 +53,13 @@ class SiamRPN(nn.Module):
     # space-to-depth stem lowering (resnet.SpaceToDepthStem): a batch-1
     # latency win; the Tracker's single-stream clone turns it on
     stem_s2d: bool = False
+    maxpool_phase: bool = False  # see resnet.maxpool_3x3s2_p1_phase
 
     def setup(self):
         self.backbone = ResNet50Tracking(dtype=self.dtype, bn_axis=self.bn_axis,
                                          width=self.width,
                                          stem_s2d=self.stem_s2d,
+                                         maxpool_phase=self.maxpool_phase,
                                          name="backbone")
         self.neck = ResDownS(4 * self.width, dtype=self.dtype,
                              bn_axis=self.bn_axis, name="neck")
@@ -97,11 +99,13 @@ class SiamMaskBase(nn.Module):
     bn_axis: str | None = None
     width: int = 64
     stem_s2d: bool = False  # see SiamRPN.stem_s2d
+    maxpool_phase: bool = False  # see SiamRPN.maxpool_phase
 
     def setup(self):
         self.backbone = ResNet50Tracking(dtype=self.dtype, bn_axis=self.bn_axis,
                                          width=self.width,
                                          stem_s2d=self.stem_s2d,
+                                         maxpool_phase=self.maxpool_phase,
                                          name="backbone")
         self.neck = ResDownS(4 * self.width, dtype=self.dtype,
                              bn_axis=self.bn_axis, name="neck")
@@ -156,11 +160,13 @@ class SiamMaskSharp(nn.Module):
     thin_conv_threshold: int = 0
     width: int = 64
     stem_s2d: bool = False  # see SiamRPN.stem_s2d
+    maxpool_phase: bool = False  # see SiamRPN.maxpool_phase
 
     def setup(self):
         self.backbone = ResNet50Tracking(dtype=self.dtype, bn_axis=self.bn_axis,
                                          width=self.width,
                                          stem_s2d=self.stem_s2d,
+                                         maxpool_phase=self.maxpool_phase,
                                          name="backbone")
         self.neck = ResDownS(4 * self.width, dtype=self.dtype,
                              bn_axis=self.bn_axis, name="neck")

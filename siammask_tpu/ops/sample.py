@@ -19,41 +19,56 @@ import jax.numpy as jnp
 
 
 def separable_bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array,
-                              border: jax.Array) -> jax.Array:
+                              border: jax.Array,
+                              rows_first: bool = False) -> jax.Array:
     """Sample ``img`` (H, W, C) at the grid ys x xs -> (len(ys), len(xs), C).
 
     ys/xs are float sample coordinates (dynamic values, static length). ``border``
     is (C,) and substitutes any neighbor that falls outside the image, matching
     bilinear sampling of an infinitely border-padded image.
+
+    ``rows_first`` picks which axis gathers first — numerically identical
+    either way (the two 1-D passes commute exactly: each output value is the
+    same 4-tap weighted sum); it exists because XLA's chosen gather layouts
+    differ and the better order depends on the producer's layout.
     """
     h, w, _ = img.shape
-    border = border.astype(img.dtype)
+    # Integer images (uint8 frames) convert to f32 AFTER the first gather:
+    # gather commutes with the cast bit-exactly, and casting the gathered
+    # lines instead of the whole frame drops a full-frame f32 materialization
+    # (~4.9 MB -> 0.4 MB on a 480x854 frame; profiled 4.7 us/frame of convert
+    # traffic in the scan step). Float inputs keep their dtype through the
+    # blend, unchanged.
+    compute_dtype = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) \
+        else jnp.float32
+    border = border.astype(compute_dtype)
 
-    x0 = jnp.floor(xs)
-    fx = (xs - x0)[None, :, None]
-    x0i = x0.astype(jnp.int32)
+    def interp_axis(src, coords, axis, extent):
+        c0 = jnp.floor(coords)
+        # frac stays in the coordinate dtype (f32): the blend promotes bf16
+        # taps to f32 exactly as the pre-refactor two-pass code did
+        frac = jnp.expand_dims((coords - c0)[:, None], 1 - axis)
+        c0i = c0.astype(jnp.int32)
 
-    def take_cols(xi):
-        valid = (xi >= 0) & (xi < w)
-        cols = jnp.take(img, jnp.clip(xi, 0, w - 1), axis=1)  # (H, N, C)
-        return jnp.where(valid[None, :, None], cols, border[None, None, :])
+        def take(ci):
+            valid = (ci >= 0) & (ci < extent)
+            lines = jnp.take(src, jnp.clip(ci, 0, extent - 1), axis=axis)
+            lines = lines.astype(compute_dtype)
+            valid = jnp.expand_dims(valid[:, None], 1 - axis)
+            return jnp.where(valid, lines, border[None, None, :])
 
-    tmp = take_cols(x0i) * (1.0 - fx) + take_cols(x0i + 1) * fx  # (H, N, C)
+        return take(c0i) * (1.0 - frac) + take(c0i + 1) * frac
 
-    y0 = jnp.floor(ys)
-    fy = (ys - y0)[:, None, None]
-    y0i = y0.astype(jnp.int32)
-
-    def take_rows(yi):
-        valid = (yi >= 0) & (yi < h)
-        rows = jnp.take(tmp, jnp.clip(yi, 0, h - 1), axis=0)  # (M, N, C)
-        return jnp.where(valid[:, None, None], rows, border[None, None, :])
-
-    return take_rows(y0i) * (1.0 - fy) + take_rows(y0i + 1) * fy
+    if rows_first:
+        tmp = interp_axis(img, ys, 0, h)      # (M, W, C)
+        return interp_axis(tmp, xs, 1, w)     # (M, N, C)
+    tmp = interp_axis(img, xs, 1, w)          # (H, N, C)
+    return interp_axis(tmp, ys, 0, h)         # (M, N, C)
 
 
 def subwindow_crop(frame: jax.Array, pos_xy: jax.Array, crop_sz: jax.Array,
-                   model_sz: int, avg_chans: jax.Array) -> jax.Array:
+                   model_sz: int, avg_chans: jax.Array,
+                   rows_first: bool = False) -> jax.Array:
     """On-device equivalent of `get_subwindow_tracking` (tools/test.py:67-110).
 
     frame: (H, W, C) float; pos_xy: (2,) center (x, y); crop_sz: scalar side length
@@ -75,7 +90,8 @@ def subwindow_crop(frame: jax.Array, pos_xy: jax.Array, crop_sz: jax.Array,
     # the sample grid to the window before sampling the frame (out-of-frame samples
     # still resolve to avg_chans, reproducing the mean-padded crop buffer).
     u = jnp.clip(u, 0.0, crop_sz - 1.0)
-    return separable_bilinear_sample(frame, oy + u, ox + u, avg_chans)
+    return separable_bilinear_sample(frame, oy + u, ox + u, avg_chans,
+                                     rows_first=rows_first)
 
 
 def warp_back_mask(mask: jax.Array, back_box: jax.Array, out_hw: tuple[int, int],

@@ -91,6 +91,23 @@ def test_maxpool_slices_matches_reduce_window(hw):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize("hw", [(125, 125), (61, 61), (30, 33), (7, 9)])
+@pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
+def test_maxpool_phase_matches_reduce_window(hw, dtype):
+    """The phase-split lowering (latency-clone default) is bit-exact vs
+    nn.max_pool for every stem geometry (125^2 search / 61^2 template) and
+    both compute dtypes."""
+    from siammask_tpu.models.resnet import maxpool_3x3s2_p1_phase
+    h, w = hw
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(np.maximum(rng.randn(2, h, w, 16), 0.0)
+                    .astype(np.float32)).astype(dtype)
+    want = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+    got = maxpool_3x3s2_p1_phase(x)
+    assert got.dtype == want.dtype
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_tracker_latency_clone_uses_s2d_stem():
     """Batch-1 clone: s2d stem + shift thin convs; batched model: MXU defaults."""
     from siammask_tpu.config import TrackerConfig
