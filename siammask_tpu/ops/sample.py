@@ -27,10 +27,11 @@ def separable_bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array,
     is (C,) and substitutes any neighbor that falls outside the image, matching
     bilinear sampling of an infinitely border-padded image.
 
-    ``rows_first`` picks which axis gathers first — numerically identical
-    either way (the two 1-D passes commute exactly: each output value is the
-    same 4-tap weighted sum); it exists because XLA's chosen gather layouts
-    differ and the better order depends on the producer's layout.
+    ``rows_first`` picks which axis gathers first — the same 4-tap weighted
+    sum either way, associated differently, so the orders agree to f32
+    rounding (~1 ULP; pinned in tests/test_ops.py). It exists because XLA's
+    chosen gather layouts differ and the better order depends on the
+    producer's layout.
     """
     h, w, _ = img.shape
     # Integer images (uint8 frames) convert to f32 AFTER the first gather:

@@ -143,6 +143,33 @@ def test_subwindow_crop_matches_reference(pos, crop_sz, model_sz):
     np.testing.assert_allclose(ours, ref, atol=1e-2)  # cv2 float32 accumulation noise
 
 
+@pytest.mark.parametrize("pos,crop_sz,model_sz", [
+    ((100.0, 120.0), 80, 127),      # fully inside
+    ((10.0, 10.0), 90, 127),        # pads top-left
+    ((55.5, 77.25), 93, 127),       # fractional center
+])
+def test_subwindow_crop_axis_order_and_uint8_commute(pos, crop_sz, model_sz):
+    """The two separable gather orders compute the same 4-tap weighted sum,
+    associated differently — they agree to f32 rounding (~1 ULP), not
+    bit-for-bit. A uint8 frame cropped with the cast-after-gather lowering
+    (ops/sample.py) IS bit-for-bit identical to cropping the frame pre-cast
+    to f32 (gather only selects; cast commutes exactly). Both are
+    latency-path knobs on the production tracker step."""
+    im8 = RNG.randint(0, 256, size=(240, 320, 3)).astype(np.uint8)
+    im32 = im8.astype(np.float32)
+    avg = im32.mean(axis=(0, 1))
+    args = (jnp.asarray(pos, dtype=jnp.float32), jnp.asarray(float(crop_sz)),
+            model_sz, jnp.asarray(avg))
+    cols = np.asarray(subwindow_crop(jnp.asarray(im32), *args))
+    rows = np.asarray(subwindow_crop(jnp.asarray(im32), *args, rows_first=True))
+    np.testing.assert_allclose(rows, cols, rtol=2e-6, atol=2e-4)
+    u8 = np.asarray(subwindow_crop(jnp.asarray(im8), *args))
+    assert u8.dtype == np.float32
+    np.testing.assert_array_equal(u8, cols)
+    u8r = np.asarray(subwindow_crop(jnp.asarray(im8), *args, rows_first=True))
+    np.testing.assert_array_equal(u8r, rows)
+
+
 def test_warp_back_matches_cv2():
     mask = RNG.uniform(-1, 1, size=(127, 127)).astype(np.float32)
     im_w, im_h = 320, 240
