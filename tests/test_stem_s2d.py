@@ -116,7 +116,9 @@ def test_tracker_latency_clone_uses_s2d_stem():
 
     t = Tracker(SiamMaskSharp(), TrackerConfig(), mask=True, refine=True)
     assert t.model_single.stem_s2d and t.model_single.thin_conv_threshold > 0
+    assert t.model_single.maxpool_phase
     assert not t.model.stem_s2d and t.model.thin_conv_threshold == 0
+    assert not t.model.maxpool_phase
 
 
 def test_s2d_stem_is_param_compatible():
