@@ -40,8 +40,9 @@ class TrackerRuntime:
     reference's state-dict API (siamese_init/siamese_track)."""
 
     def __init__(self, model, variables, p: TrackerConfig, mask: bool = True,
-                 refine: bool = True):
-        self.tracker = Tracker(model, p, mask=mask, refine=refine)
+                 refine: bool = True, latency_lowerings: bool = True):
+        self.tracker = Tracker(model, p, mask=mask, refine=refine,
+                               latency_lowerings=latency_lowerings)
         self.variables = variables
         self.p = p
         self.mask_enable = mask

@@ -78,7 +78,7 @@ class Tracker:
     video (one compile per resolution; XLA caches)."""
 
     def __init__(self, model, p: TrackerConfig, mask: bool = True,
-                 refine: bool = True):
+                 refine: bool = True, latency_lowerings: bool = True):
         self.model = model
         # Latency-optimized clone for the batch-1 single-stream paths: the
         # Refine tail's thin convs switch to the VPU shift lowering (wins only
@@ -88,11 +88,27 @@ class Tracker:
         # batched serving keep the direct conv). Batched paths (vmap hides
         # the stream count from the module) and training keep the MXU
         # defaults. Same parameter tree, so `variables` are interchangeable.
-        try:
-            self.model_single = model.clone(thin_conv_threshold=128,
-                                            stem_s2d=True, maxpool_phase=True)
-        except TypeError:  # model without a Refine decoder (base / siamrpn)
-            self.model_single = model.clone(stem_s2d=True, maxpool_phase=True)
+        #
+        # ``latency_lowerings=False`` keeps the reference lowerings on the
+        # single-stream paths too. The clone lowerings compute the same maps
+        # (phase maxpool bit-exact; s2d stem / shift convs to f32 rounding —
+        # pinned in tests/test_stem_s2d.py, tests/test_ops.py), but in a
+        # CLOSED LOOP over razor-edge random weights ~1-ULP reduction-order
+        # differences compound into divergent reset decisions, so the
+        # implementation-parity harnesses (tools/{metric_parity,
+        # parity_report}.py) opt out to compare algorithms, not lowerings;
+        # the deployment-lowering metric delta is measured separately
+        # (PARITY_METRICS.md bf16 section).
+        if not latency_lowerings:
+            self.model_single = model
+        else:
+            try:
+                self.model_single = model.clone(thin_conv_threshold=128,
+                                                stem_s2d=True,
+                                                maxpool_phase=True)
+            except TypeError:  # no Refine decoder (base / siamrpn)
+                self.model_single = model.clone(stem_s2d=True,
+                                                maxpool_phase=True)
         self.p = p
         self.mask_enable = mask
         self.refine_enable = refine

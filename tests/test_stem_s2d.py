@@ -119,6 +119,10 @@ def test_tracker_latency_clone_uses_s2d_stem():
     assert t.model_single.maxpool_phase
     assert not t.model.stem_s2d and t.model.thin_conv_threshold == 0
     assert not t.model.maxpool_phase
+    # parity harnesses opt out: single-stream paths run reference lowerings
+    t_ref = Tracker(SiamMaskSharp(), TrackerConfig(), mask=True, refine=True,
+                    latency_lowerings=False)
+    assert t_ref.model_single is t_ref.model
 
 
 def test_s2d_stem_is_param_compatible():

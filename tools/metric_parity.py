@@ -142,6 +142,18 @@ def main():
                              "— measures the bf16 deployment metric delta")
     parser.add_argument("--xcorr", default="shift",
                         choices=["mm", "conv", "shift", "pallas"])
+    parser.add_argument("--latency-lowerings", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="batch-1 latency clone lowerings (s2d stem / "
+                             "shift thin convs / phase maxpool) on OUR "
+                             "tracker. 'auto' = on only for the bf16 "
+                             "deployment-delta mode (--dtype bfloat16): the "
+                             "fp32 run is the IMPLEMENTATION-parity "
+                             "configuration and must compare algorithms, not "
+                             "~1-ULP lowering reduction orders, which "
+                             "closed-loop razor-edge random weights amplify "
+                             "into divergent resets (each lowering's numeric "
+                             "equivalence is unit-pinned separately)")
     parser.add_argument("--work-dir", default="/tmp/metric_parity")
     parser.add_argument("--append", action="store_true",
                         help="append the delta table to PARITY_METRICS.md")
@@ -203,9 +215,11 @@ def main():
     mask_on = not args.box_only
     if args.box_only:
         args.skip_vos = True
+    lat = (args.latency_lowerings == "on" or
+           (args.latency_lowerings == "auto" and args.dtype == "bfloat16"))
     runtime = TrackerRuntime(
         SiamMaskSharp(xcorr_impl=args.xcorr, dtype=our_dtype), variables,
-        p, mask=mask_on, refine=mask_on)
+        p, mask=mask_on, refine=mask_on, latency_lowerings=lat)
 
     pos0 = np.array([336.0, 175.0])
     sz0 = np.array([56.0, 140.0])
@@ -300,7 +314,8 @@ def main():
             print("VOS fusion: ours...", flush=True)
             runtime_vos = TrackerRuntime(
                 SiamMaskSharp(xcorr_impl=args.xcorr, dtype=our_dtype),
-                variables, p, mask=True, refine=True)
+                variables, p, mask=True, refine=True,
+                latency_lowerings=lat)
             track_vos(runtime_vos, vos_video, mot_enable=False,
                       result_dir=join(root, "test"), dataset="DAVISp",
                       tracker_name="ours", save_mask=True, log=lambda *a: None)

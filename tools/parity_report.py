@@ -182,6 +182,14 @@ def main():
                              "report default) isolates implementation parity "
                              "from MXU rounding; 'default' measures deployment "
                              "precision (bf16-rounded MXU inputs)")
+    parser.add_argument("--latency-lowerings", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="batch-1 latency clone (s2d stem / shift thin "
+                             "convs / phase maxpool). 'auto': on only at "
+                             "--precision default (deployment mode); the fp32 "
+                             "parity run compares algorithms, not ~1-ULP "
+                             "lowering reduction orders (each lowering is "
+                             "unit-pinned equivalent separately)")
     args = parser.parse_args()
 
     if args.platform:
@@ -232,8 +240,10 @@ def main():
     # ---- ours closed loop (the jitted production step, production xcorr
     # lowering — 'shift', matching tools/test.py build_model)
     p = TrackerConfig().update(HP, ANCHORS)
+    lat = (args.latency_lowerings == "on" or
+           (args.latency_lowerings == "auto" and args.precision == "default"))
     tracker = Tracker(SiamMaskSharp(xcorr_impl=args.xcorr), p, mask=True,
-                      refine=True)
+                      refine=True, latency_lowerings=lat)
     state = tracker.init(variables, jnp.asarray(frames[0], jnp.float32),
                          target_pos, target_sz)
     our_boxes, our_masks = [], []
