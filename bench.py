@@ -256,6 +256,30 @@ def bench_train(args):
     }))
 
 
+def _check_backend_reachable(budget_s: int = 600):
+    """Fail fast (and loudly) if the backend never comes up.
+
+    When the axon tunnel is down, ``jax.devices()`` blocks indefinitely inside
+    backend setup (measured: >9 min with zero output; the block sits in a C
+    gRPC call, so an in-process SIGALRM is never delivered) — under the
+    driver's timeout that records an opaque rc=124. Backend INIT normally
+    takes seconds (remote COMPILES are minutes, but happen later), so probe it
+    in a short-lived subprocess with a hard timeout and convert the hang into
+    a diagnosable error. Costs ~3 s when healthy."""
+    import subprocess
+    import sys
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=budget_s, check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"JAX backend '{os.environ.get('JAX_PLATFORMS', 'default')}' did "
+            f"not initialize within {budget_s}s — the axon TPU tunnel is "
+            "unreachable (this is environment downtime, not a bench failure)"
+        ) from None
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--profile-dir", default=None,
@@ -301,6 +325,7 @@ def main():
                         help="--train mode: epoch>=50%% phase (backbone "
                              "layer2/3 training; the expensive backward)")
     args = parser.parse_args()
+    _check_backend_reachable()
     if args.train or args.train_refine:
         return bench_train(args)
     from siammask_tpu.config import TrackerConfig
