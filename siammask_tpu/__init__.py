@@ -27,11 +27,17 @@ import jax as _jax
 # from a different host fail-load AND block write-back (see utils/cachedir.py).
 if (_jax.config.jax_compilation_cache_dir is None
         and (_os.environ.get("JAX_PLATFORMS") or "cpu") == "cpu"):
-    from siammask_tpu.utils.cachedir import machine_cache_dir as _mcd
+    # An explicitly-set SIAMMASK_TPU_CACHE is honored VERBATIM (the user
+    # points at a cache they know matches this machine); only the default
+    # path gets the per-machine fingerprint subdir (see utils/cachedir.py).
+    _explicit = _os.environ.get("SIAMMASK_TPU_CACHE")
+    if _explicit:
+        _cache_dir = _explicit
+    else:
+        from siammask_tpu.utils.cachedir import machine_cache_dir as _mcd
 
-    _jax.config.update(
-        "jax_compilation_cache_dir",
-        _mcd(_os.environ.get("SIAMMASK_TPU_CACHE")))
+        _cache_dir = _mcd()
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -184,6 +184,14 @@ def load_dataset(dataset: str, data_dir: str = "data") -> dict:
                                 for k, o in objects.items()},
                 "end_frame": {k: frames.index(o["frames"][-1])
                               for k, o in objects.items()},
+                # each object's OWN annotated frames as merged-list indices:
+                # the official server scores an object exactly on this list
+                # (minus the init frame), NOT on every merged index in its
+                # [start, end] range — the lists can be sparse (every 5th
+                # frame) and differ per object (benchmark_helper.py:68-94
+                # loads the same per-object lists)
+                "obj_frames": {k: [frames.index(f) for f in o["frames"]]
+                               for k, o in objects.items()},
                 # per-object category (drives the seen/unseen J/F split)
                 "category": {k: o.get("category") for k, o in objects.items()},
                 "name": video,

@@ -8,11 +8,19 @@ category splits, in BASELINE.md's ``J_s / J_u / F_s / F_u`` format.
 
 Protocol (matching the official server semantics):
 
-- Each object is scored on ITS annotated frame range — from the frame after its
-  first appearance (the given init annotation is excluded) through its last
-  annotated frame, using the per-object ``start_frame``/``end_frame`` indices
-  the meta.json loader computes (`eval/datasets.py`; reference
-  `utils/benchmark_helper.py:68-94` loads the same ranges).
+- Each object is scored on exactly ITS OWN annotated frame list from meta.json
+  (``objects[k]["frames"]``), excluding the first (init) frame — NOT on every
+  merged-frame-list index inside its [start, end] range. The lists are sparse
+  on the real valid split (every 5th frame) and differ per object, so scoring
+  in-between merged indices would grade an object against frames where it has
+  no annotation (`eval/datasets.py` exposes them as ``obj_frames``; reference
+  `utils/benchmark_helper.py:68-94` loads the same per-object lists).
+- Ground-truth annotation PNGs must exist for the scored frames. On the real
+  YouTube-VOS valid split only first-frame annotations are public (scoring
+  happens server-side), so this scorer requires a densely annotated split
+  (train-derived or custom). Frames whose annotation PNG is missing are
+  skipped with a warning naming the file rather than silently scored against
+  an empty mask.
 - "Seen" categories are those present in the training split; "unseen" are
   val-only. The split is resolved from (in order): an explicit
   ``seen_categories`` argument, the training split's own ``meta.json``
@@ -70,7 +78,7 @@ class YTBVOSBenchmark:
 
     def eval(self, tracker_name: str) -> dict:
         """-> {video: {object_id: {"J": mean, "F": mean, "category": str,
-        "seen": bool}}} over each object's annotated range."""
+        "seen": bool}}} over each object's own annotated frame list."""
         from PIL import Image
 
         out = {}
@@ -80,30 +88,50 @@ class YTBVOSBenchmark:
             pred_files = sorted(glob(join(pred_dir, "*.png")))
             if len(pred_files) != len(video["anno_files"]):
                 continue        # incomplete result dir — skip like the toolkit
-            annos = [np.array(Image.open(x)) for x in video["anno_files"]]
-            preds = [np.array(Image.open(x)) for x in pred_files]
+            loaded = {}         # frame index -> (anno, pred), lazily
+
+            def frame(t):
+                if t not in loaded:
+                    loaded[t] = (np.array(Image.open(video["anno_files"][t])),
+                                 np.array(Image.open(pred_files[t])))
+                return loaded[t]
 
             video_res = {}
-            for obj, start in video["start_frame"].items():
-                end = video["end_frame"][obj]
+            missing = []
+            obj_frames = video.get("obj_frames") or {
+                # legacy dict without per-object lists: every merged index
+                # in the object's range (dense-annotation assumption)
+                k: list(range(video["start_frame"][k],
+                              video["end_frame"][k] + 1))
+                for k in video["start_frame"]}
+            for obj, frame_ids in obj_frames.items():
                 o_id = int(obj)
                 j_scores, f_scores = [], []
-                for t in range(start + 1, end + 1):
-                    # valid-split annotations exist only on the object's
-                    # annotated frames; frames without the object annotated
-                    # within its range still count (empty gt vs prediction)
-                    gt = annos[t] == o_id
-                    pred = preds[t] == o_id
+                # score on the object's own annotated frames, init excluded
+                for t in frame_ids[1:]:
+                    if not exists(video["anno_files"][t]):
+                        missing.append(video["anno_files"][t])
+                        continue
+                    gt_anno, pred_anno = frame(t)
+                    gt = gt_anno == o_id
+                    pred = pred_anno == o_id
                     j_scores.append(db_eval_iou(pred, gt))
                     f_scores.append(db_eval_boundary(pred, gt))
                 if not j_scores:
-                    continue    # single-frame object: nothing after init
+                    continue    # single-frame object / no scoreable frames
                 cat = video.get("category", {}).get(obj)
                 seen = (self.seen_categories is None
                         or cat in self.seen_categories)
                 video_res[o_id] = {"J": float(np.mean(j_scores)),
                                    "F": float(np.mean(f_scores)),
                                    "category": cat, "seen": bool(seen)}
+            if missing:
+                logger.warning(
+                    "ytb_vos video %s: %d scoring frame(s) have no ground-"
+                    "truth annotation (first: %s) — skipped, not scored as "
+                    "empty. The official valid split's gt is server-private; "
+                    "this scorer needs an annotated split.",
+                    name, len(missing), missing[0])
             out[name] = video_res
         return {tracker_name: out}
 

@@ -54,7 +54,12 @@ def separable_bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array,
         def take(ci):
             valid = (ci >= 0) & (ci < extent)
             lines = jnp.take(src, jnp.clip(ci, 0, extent - 1), axis=axis)
-            lines = lines.astype(compute_dtype)
+            # Cast only raw integer inputs (uint8 frames). Floating inputs —
+            # including the f32 intermediate the first pass produces from a
+            # bf16 image (the blend promotes through the f32 frac) — keep
+            # their precision, matching the pre-refactor two-pass code.
+            if not jnp.issubdtype(lines.dtype, jnp.floating):
+                lines = lines.astype(compute_dtype)
             valid = jnp.expand_dims(valid[:, None], 1 - axis)
             return jnp.where(valid, lines, border[None, None, :])
 

@@ -93,3 +93,59 @@ def test_vot_end_to_end(tmp_path):
     eao_bench.low, eao_bench.high = 1, 5
     eao = eao_bench.eval("rand")
     assert 0 <= eao["rand"]["all"] <= 1
+
+
+@pytest.mark.slow_ok  # reuses test_vot_end_to_end's compile-cache entries
+def test_tune_cell_scored_by_eao(tmp_path):
+    """A VOT tune grid cell writes full trajectory result files and is scored
+    by EAO (tools/tune.py score_vot_cell), not by raw lost count — matching
+    the reference's tune_vot.py:163-166 write-then-EAO-rank flow."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "tune_mod", str(Path(__file__).resolve().parents[1] / "tools" / "tune.py"))
+    tune = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tune)
+
+    data_dir = tmp_path / "data"
+    vot_root = data_dir / "VOT2018"
+    _make_vot_dataset(vot_root)
+    dataset = load_dataset("VOT2018", str(data_dir))
+    create_vot_json(str(vot_root), "VOT2018",
+                    out_file=str(data_dir / "VOT2018.json"))
+    vot_ds = VOTDataset("VOT2018", str(data_dir))
+
+    model = SiamMaskSharp()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 127, 127, 3)),
+                           jnp.zeros((1, 255, 255, 3)))
+    p = TrackerConfig().update(HP)
+    runtime = TrackerRuntime(model, variables, p, mask=True, refine=True)
+
+    out_dir = tmp_path / "tune"
+    tag = "pk0.04_wi0.4_lr1.0_in255"
+    done = tune.run_grid(
+        [tag], str(out_dir), lambda c: c,
+        lambda c: tune.score_vot_cell(runtime, dataset, vot_ds, c,
+                                      str(out_dir), "VOT2018",
+                                      eao_interval=(1, 5),
+                                      log=lambda *_: None),
+        log=lambda *_: None)
+    assert done == 1
+
+    # the cell file records an EAO score in [0, 1]
+    text = (out_dir / f"{tag}.txt").read_text().strip()
+    score = float(text.split(" score ")[1])
+    assert 0.0 <= score <= 1.0
+
+    # and the per-video trajectory files the score came from exist on disk
+    for vid in ("vid0", "vid1"):
+        traj = out_dir / "results" / "VOT2018" / tag / "baseline" / vid / f"{vid}_001.txt"
+        assert traj.exists()
+        assert traj.read_text().strip().split("\n")[0] == "1"
+
+    # the recorded score IS the EAO the in-tree benchmark computes
+    vot_ds.set_tracker(str(out_dir / "results" / "VOT2018"), [tag])
+    bench = EAOBenchmark(vot_ds)
+    bench.low, bench.high = 1, 5
+    assert score == pytest.approx(bench.eval(tag)[tag]["all"])

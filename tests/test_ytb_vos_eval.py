@@ -101,6 +101,91 @@ def test_ytb_vos_benchmark_end_to_end(tmp_path):
     assert obj2["category"] == "lizard" and not obj2["seen"]
 
 
+def _make_sparse_ytb_vos(data_dir, n_frames=5):
+    """Valid-split layout where object 2 is annotated only every OTHER merged
+    frame (its meta.json frames list is sparse) while object 1 is dense, so
+    the merged frame list is dense. On object 2's un-listed in-between frames
+    the annotation PNG does NOT contain it (sparse annotation), but a correct
+    tracker still predicts it there — per-range scoring would grade those
+    predictions against empty gt (J=0); per-own-frames scoring must not."""
+    valid = data_dir / "ytb_vos" / "valid"
+    (valid / "JPEGImages" / "vidB").mkdir(parents=True)
+    (valid / "Annotations" / "vidB").mkdir(parents=True)
+    frames = [f"{5 * i:05d}" for i in range(n_frames)]
+    obj2_frames = frames[::2]
+    for i, f in enumerate(frames):
+        im = np.zeros((H, W, 3), np.uint8)
+        Image.fromarray(im).save(valid / "JPEGImages" / "vidB" / f"{f}.jpg")
+        anno = _square(10, 10 + 2 * i, 20, 1)
+        if f in obj2_frames:
+            anno = _square(50, 60, 18, 2, anno)
+        Image.fromarray(anno).save(valid / "Annotations" / "vidB" / f"{f}.png")
+    meta = {"videos": {"vidB": {"objects": {
+        "1": {"category": "person", "frames": frames},
+        "2": {"category": "lizard", "frames": obj2_frames},
+    }}}}
+    (valid / "meta.json").write_text(json.dumps(meta))
+    return frames, obj2_frames
+
+
+def test_sparse_object_scored_only_on_its_own_frames(tmp_path):
+    frames, obj2_frames = _make_sparse_ytb_vos(tmp_path)
+    dataset = load_dataset("ytb_vos", str(tmp_path))
+    assert dataset["vidB"]["obj_frames"] == {"1": [0, 1, 2, 3, 4],
+                                             "2": [0, 2, 4]}
+
+    # the tracker predicts object 2 on EVERY frame (correct behavior — the
+    # object is present; only the annotation is sparse)
+    out = tmp_path / "test" / "ytb_vos" / "trk" / "vidB"
+    out.mkdir(parents=True)
+    for i, f in enumerate(frames):
+        pred = _square(10, 10 + 2 * i, 20, 1)
+        pred = _square(50, 60, 18, 2, pred)
+        Image.fromarray(pred).save(out / f"{f}.png")
+
+    bench = YTBVOSBenchmark(dataset, str(tmp_path / "test"),
+                            seen_categories={"person"},
+                            data_dir=str(tmp_path))
+    results = bench.eval("trk")
+    # object 2's un-listed frames (indices 1, 3) carry empty gt for it; if
+    # they were scored, J would be (1+0+1+0)/4 = 0.5 — per-protocol it is 1.0
+    assert results["trk"]["vidB"][2]["J"] == 1.0
+    assert results["trk"]["vidB"][2]["F"] == 1.0
+    assert results["trk"]["vidB"][1]["J"] == 1.0
+
+
+def test_missing_annotation_frames_skipped_with_warning(tmp_path, caplog):
+    import logging
+
+    frames = _make_ytb_vos(tmp_path)
+    # simulate the real valid split's private gt: remove one in-range anno
+    removed = (tmp_path / "ytb_vos" / "valid" / "Annotations" / "vidA"
+               / f"{frames[2]}.png")
+    removed_arr = np.array(Image.open(removed))
+    dataset = load_dataset("ytb_vos", str(tmp_path))
+    out = tmp_path / "test" / "ytb_vos" / "trk" / "vidA"
+    out.mkdir(parents=True)
+    for i, f in enumerate(frames):
+        anno = np.array(Image.open(
+            tmp_path / "ytb_vos" / "valid" / "Annotations" / "vidA"
+            / f"{f}.png"))
+        Image.fromarray(anno).save(out / f"{f}.png")
+    removed.unlink()
+
+    bench = YTBVOSBenchmark(dataset, str(tmp_path / "test"),
+                            seen_categories={"person"},
+                            data_dir=str(tmp_path))
+    with caplog.at_level(logging.WARNING, logger="siammask_tpu"):
+        results = bench.eval("trk")
+    assert any("no ground-truth annotation" in r.getMessage()
+               for r in caplog.records)
+    # remaining frames still score perfectly — the missing frame is skipped,
+    # not graded against an empty mask
+    assert results["trk"]["vidA"][1]["J"] == 1.0
+    assert results["trk"]["vidA"][2]["J"] == 1.0
+    del removed_arr
+
+
 def test_ytb_vos_split_fallback_marks_missing(tmp_path):
     frames = _make_ytb_vos(tmp_path)
     import shutil
