@@ -245,7 +245,7 @@ def bench_train(args):
         if mfu >= 100.0:
             extras["mfu_suspect"] = True
     stage = "refine" if refine else "base"
-    print(json.dumps({
+    _emit_result({
         "metric": f"siammask_{stage}_train_samples_per_s_b{b}",
         "value": round(sps, 1),
         "unit": "samples/s",
@@ -253,31 +253,82 @@ def bench_train(args):
         # 600k pairs in ~10 h on 4x V100; README.md:174, run.sh both stages)
         "vs_baseline": round(sps / BASELINE_TRAIN_SPS, 3),
         **extras,
-    }))
+    }, _bench_cache_key(args))
 
 
-def _check_backend_reachable(budget_s: int = 600):
-    """Fail fast (and loudly) if the backend never comes up.
+def _check_backend_reachable(window_s: int | None = None):
+    """Wait for the backend with retry-and-backoff instead of failing once.
 
     When the axon tunnel is down, ``jax.devices()`` blocks indefinitely inside
     backend setup (measured: >9 min with zero output; the block sits in a C
     gRPC call, so an in-process SIGALRM is never delivered) — under the
     driver's timeout that records an opaque rc=124. Backend INIT normally
     takes seconds (remote COMPILES are minutes, but happen later), so probe it
-    in a short-lived subprocess with a hard timeout and convert the hang into
-    a diagnosable error. Costs ~3 s when healthy."""
+    in short-lived subprocesses with hard timeouts. A single 600 s probe is
+    exactly what produced the empty BENCH_r03 during a transient outage, so
+    the probe now RETRIES across a window (default 3600 s, env
+    BENCH_TUNNEL_WINDOW_S) with escalating per-attempt timeouts — an outage
+    shorter than the window costs waiting, not the round's perf record.
+    Costs ~3 s when healthy."""
     import subprocess
     import sys
+    window_s = int(os.environ.get("BENCH_TUNNEL_WINDOW_S", "3600")) \
+        if window_s is None else window_s
+    deadline = time.monotonic() + window_s
+    attempt = 0
+    while True:
+        attempt += 1
+        # short first probes catch a healthy tunnel fast; later ones allow a
+        # slow-recovering tunnel a full init
+        probe_s = min(600, 120 * attempt)
+        probe_s = min(probe_s, max(30, deadline - time.monotonic()))
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_s, check=True, capture_output=True)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise RuntimeError(
+                    f"JAX backend "
+                    f"'{os.environ.get('JAX_PLATFORMS', 'default')}' did not "
+                    f"initialize within {window_s}s across {attempt} probes — "
+                    "the axon TPU tunnel is unreachable (this is environment "
+                    "downtime, not a bench failure)") from None
+            print(f"bench: tunnel probe {attempt} failed ({probe_s:.0f}s); "
+                  f"retrying for another {remaining:.0f}s", file=sys.stderr,
+                  flush=True)
+            time.sleep(min(60, max(0, remaining)))
+
+
+_CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_cache.json")
+
+
+def _emit_result(payload: dict, cache_key: str):
+    """Print the one-line JSON result AND persist it as the last good result
+    for this bench mode, so a future run behind a dead tunnel can emit it
+    with a ``stale: true`` marker instead of recording nothing."""
+    print(json.dumps(payload))
     try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=budget_s, check=True, capture_output=True)
-    except subprocess.TimeoutExpired:
-        raise RuntimeError(
-            f"JAX backend '{os.environ.get('JAX_PLATFORMS', 'default')}' did "
-            f"not initialize within {budget_s}s — the axon TPU tunnel is "
-            "unreachable (this is environment downtime, not a bench failure)"
-        ) from None
+        cache = {}
+        if os.path.exists(_CACHE_FILE):
+            with open(_CACHE_FILE) as f:
+                cache = json.load(f)
+        cache[cache_key] = {**payload, "cached_at": time.strftime(
+            "%Y-%m-%dT%H:%M:%S%z")}
+        with open(_CACHE_FILE, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # caching is best-effort; never fail the bench over it
+
+
+def _bench_cache_key(args) -> str:
+    sig = {k: v for k, v in sorted(vars(args).items())
+           if k not in ("profile_dir", "iters")}
+    return json.dumps(sig, sort_keys=True)
 
 
 def main():
@@ -325,7 +376,20 @@ def main():
                         help="--train mode: epoch>=50%% phase (backbone "
                              "layer2/3 training; the expensive backward)")
     args = parser.parse_args()
-    _check_backend_reachable()
+    try:
+        _check_backend_reachable()
+    except RuntimeError as down:
+        # tunnel stayed down for the whole retry window: emit the last good
+        # result for this mode, marked stale, rather than recording nothing
+        cached = {}
+        if os.path.exists(_CACHE_FILE):
+            with open(_CACHE_FILE) as f:
+                cached = json.load(f).get(_bench_cache_key(args)) or {}
+        if cached:
+            print(json.dumps({**cached, "stale": True,
+                              "stale_reason": str(down)}))
+            return
+        raise
     if args.train or args.train_refine:
         return bench_train(args)
     from siammask_tpu.config import TrackerConfig
@@ -439,13 +503,13 @@ def main():
                   if args.streams == 1 else
                   f"siammask_sharp_track_aggregate_fps_{args.streams}streams")
 
-    print(json.dumps({
+    _emit_result({
         "metric": metric,
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         **extras,
-    }))
+    }, _bench_cache_key(args))
 
 
 if __name__ == "__main__":
