@@ -52,3 +52,44 @@ def load_checkpoint(path: str, opt_state_target=None) -> dict:
     elif "opt_state" in data:
         out["opt_state_raw"] = data["opt_state"]
     return out
+
+
+def merge_variables(init_vars: dict, loaded_vars: dict):
+    """Non-strict warm start: overlay ``loaded_vars`` onto ``init_vars`` where
+    paths and shapes match.
+
+    The analogue of the reference's ``load_pretrain`` non-strict loading
+    (utils/load_helper.py:30-54), which is how the two-stage flow feeds the
+    stage-1 SiamMask-base checkpoint into stage-2 refine training: the refine
+    module's params are absent from the checkpoint and keep their fresh init,
+    everything shared (backbone/neck/rpn/mask) comes from the checkpoint.
+
+    Returns (merged, missing, unused): ``missing`` = target paths kept at
+    init (not in the checkpoint / shape mismatch), ``unused`` = checkpoint
+    paths with no target."""
+    missing, unused = [], []
+
+    def walk(init, loaded, path):
+        if not isinstance(init, dict):
+            la = np.asarray(loaded)
+            if tuple(np.shape(init)) != la.shape:
+                missing.append(f"{path} (shape {tuple(np.shape(init))} != "
+                               f"checkpoint {la.shape})")
+                return init
+            return la
+        out = {}
+        loaded = loaded if isinstance(loaded, dict) else {}
+        for k, v in init.items():
+            p = f"{path}/{k}" if path else k
+            if k in loaded:
+                out[k] = walk(v, loaded[k], p)
+            else:
+                missing.append(p)
+                out[k] = v
+        unused.extend(f"{path}/{k}" if path else k
+                      for k in loaded if k not in init)
+        return out
+
+    merged = walk(serialization.to_state_dict(init_vars),
+                  serialization.to_state_dict(loaded_vars), "")
+    return serialization.from_state_dict(init_vars, merged), missing, unused

@@ -1,0 +1,99 @@
+"""Overfit-pipeline test (RUN_SLOW=1): the full prove-it-learns flow from
+tools/overfit.py in miniature — tennis frames -> pseudo-gt boxes + GrabCut
+masks -> 511-crop dataset -> stage-1 train CLI -> stage-2 refine CLI with
+non-strict warm-start -> evaluate -> report.json — with a learning assertion
+(the trained checkpoint fits the train set far better than init).
+
+The real-scale run (full width, full schedule, on the TPU chip) is recorded
+in experiments/overfit_tennis/; this test pins the plumbing on CPU at width 8.
+"""
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+from os.path import exists, join
+from pathlib import Path
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="runs GrabCut over the clip + two train CLIs + a tracker compile; "
+           "minutes even warm — set RUN_SLOW=1")
+
+REPO = Path(__file__).resolve().parents[1]
+TENNIS = "/root/reference/data/tennis"
+
+
+def _overfit():
+    spec = importlib.util.spec_from_file_location(
+        "overfit_mod", str(REPO / "tools" / "overfit.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.skipif(not exists(TENNIS), reason="tennis clip not present")
+def test_overfit_pipeline_end_to_end(tmp_path):
+    overfit = _overfit()
+    work = str(tmp_path / "work")
+
+    # -- prepare: pseudo-gt + crops + configs
+    overfit.prepare(work, TENNIS, log=lambda *_: None)
+    crops = sorted(os.listdir(join(work, "crop511", "tennis")))
+    assert len(crops) == 2 * overfit.HELD_OUT_START  # jpg + mask per frame
+    gt = json.load(open(join(work, "gt.json")))
+    assert len(gt["boxes"]) == overfit.N_FRAMES
+    train_json = json.load(open(join(work, "train.json")))
+    assert len(train_json["tennis"]["00"]) == overfit.HELD_OUT_START
+
+    # shrink to smoke scale: 16 pairs/epoch, width-8 model
+    for name in ("config_stage1.json", "config_stage2.json"):
+        p = join(work, name)
+        cfg = json.load(open(p))
+        cfg["train_datasets"]["num"] = 16
+        cfg["train_datasets"]["datasets"]["ytb_vos"]["num_use"] = 16
+        json.dump(cfg, open(p, "w"))
+
+    # -- both train CLIs (subprocess: the real user surface). The conftest
+    # env exposes 8 virtual CPU devices, so this also exercises the dp mesh:
+    # batch 8 = 1 sample/shard.
+    env = dict(os.environ)
+    s1, s2 = overfit.run_training(work, epochs1=1, epochs2=1, batch=8,
+                                  platform="cpu", num_devices=None, width=8,
+                                  log=lambda *_: None)
+    assert exists(s1) and exists(s2)
+
+    # -- evaluate via the CLI
+    subprocess.run([sys.executable, str(REPO / "tools" / "overfit.py"),
+                    "--evaluate", "--work-dir", work, "--width", "8",
+                    "--epochs2", "1", "--platform", "cpu"],
+                   check=True, env=env)
+    report = json.load(open(join(work, "report.json")))
+
+    fit = report["train_fit"]
+    for split in ("init", "trained"):
+        assert all(v == v for v in fit[split].values())  # finite
+    # even a width-8 model in 4 steps must fit the train distribution far
+    # better than random init (bias toward background alone gives >2x)
+    assert fit["trained"]["total_loss"] < fit["init"]["total_loss"] / 2
+    assert fit["trained"]["mask_loss"] < fit["init"]["mask_loss"] / 2
+
+    held = report["held_out_tracking"]
+    for split in ("init", "trained"):
+        assert 0.0 <= held[split]["mean_iou"] <= 1.0
+        assert len(held[split]["per_frame_iou"]) == \
+            overfit.N_FRAMES - gt["held_out_start"] - 1
+
+
+def test_keyframe_interpolation():
+    overfit = _overfit()
+    boxes = overfit.interpolate_boxes()
+    assert boxes.shape == (overfit.N_FRAMES, 4)
+    # keyframes reproduced exactly; all boxes inside the 854x480 frame
+    for f, kb in overfit.KEYFRAME_BOXES.items():
+        assert tuple(boxes[f]) == tuple(float(v) for v in kb)
+    assert (boxes[:, 0] >= 0).all() and (boxes[:, 2] <= 854).all()
+    assert (boxes[:, 1] >= 0).all() and (boxes[:, 3] <= 480).all()
+    assert (boxes[:, 2] > boxes[:, 0]).all() and (boxes[:, 3] > boxes[:, 1]).all()

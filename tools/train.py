@@ -41,6 +41,10 @@ def main():
                              "processes (the reference's torch num_workers="
                              "16..20 analogue for many-core TPU-VM hosts)")
     parser.add_argument("--clip", type=float, default=10.0)
+    parser.add_argument("--width", type=int, default=None,
+                        help="reduced backbone base width (64 = real model); "
+                             "keeps the exact module tree at a compile/compute "
+                             "budget — CPU smoke runs and dryruns")
     parser.add_argument("--save-dir", default="snapshot")
     parser.add_argument("--pretrained", default=None,
                         help="checkpoint to warm-start from (.pth or .msgpack)")
@@ -104,7 +108,9 @@ def main():
 
     model_cls = {"siamrpn": SiamRPN, "base": SiamMaskBase,
                  "sharp": SiamMaskSharp, "sharp_refine": SiamMaskSharp}[args.task]
-    model = model_cls(anchor_num=cfg.anchors.anchor_num, xcorr_impl=args.xcorr)
+    model_kw = {"width": args.width} if args.width else {}
+    model = model_cls(anchor_num=cfg.anchors.anchor_num, xcorr_impl=args.xcorr,
+                      **model_kw)
 
     train_cfg = cfg.train_datasets
     search = train_cfg.get("search_size", 255)
@@ -113,9 +119,20 @@ def main():
                            jnp.zeros((1, search, search, 3)))
     if args.pretrained:
         if args.pretrained.endswith(".pth"):
-            variables = load_torch_checkpoint(args.pretrained)
+            loaded = load_torch_checkpoint(args.pretrained)
         else:
-            variables = load_checkpoint(args.pretrained)["variables"]
+            loaded = load_checkpoint(args.pretrained)["variables"]
+        # non-strict overlay (reference load_pretrain, load_helper.py:30-54):
+        # the two-stage flow warm-starts sharp_refine from a stage-1 base
+        # checkpoint that has no refine params — those keep their fresh init
+        from siammask_tpu.train.checkpoint import merge_variables
+        variables, missing, unused = merge_variables(variables, loaded)
+        if missing:
+            log.info(f"pretrained: {len(missing)} param path(s) kept at init "
+                     f"(e.g. {missing[0]})")
+        if unused:
+            log.info(f"pretrained: {len(unused)} checkpoint path(s) unused "
+                     f"(e.g. {unused[0]})")
 
     dataset = PairDataset(train_cfg, cfg.anchors, num_epoch=1)
     loader = DataLoader(dataset, args.batch, num_workers=args.workers,
