@@ -191,8 +191,13 @@ class Tracker:
 
         dx = delta[0] * self.anchor[:, 2] + self.anchor[:, 0]
         dy = delta[1] * self.anchor[:, 3] + self.anchor[:, 1]
-        dw = jnp.exp(delta[2]) * self.anchor[:, 2]
-        dh = jnp.exp(delta[3]) * self.anchor[:, 3]
+        # clip the log-scale deltas: exp overflows fp32 past 88, and one inf
+        # candidate poisons the whole step (inf*0=NaN in the lr blend, and a
+        # NaN pscore cell wins argmax). |delta|<=20 (scale factor e^20~5e8) is
+        # exact identity for any real box, so trained-weight trajectories are
+        # bit-identical; only untrained/exploding weights are affected.
+        dw = jnp.exp(jnp.clip(delta[2], -20.0, 20.0)) * self.anchor[:, 2]
+        dh = jnp.exp(jnp.clip(delta[3], -20.0, 20.0)) * self.anchor[:, 3]
 
         def change(r):
             return jnp.maximum(r, 1.0 / r)
