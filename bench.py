@@ -376,15 +376,23 @@ def main():
                         help="--train mode: epoch>=50%% phase (backbone "
                              "layer2/3 training; the expensive backward)")
     args = parser.parse_args()
+    cached = {}
+    if os.path.exists(_CACHE_FILE):
+        with open(_CACHE_FILE) as f:
+            cached = json.load(f).get(_bench_cache_key(args)) or {}
     try:
-        _check_backend_reachable()
+        # adaptive retry window: with a last-good result banked, stop probing
+        # early enough to EMIT it inside the driver's own timeout (a 3600 s
+        # wait under a ~600 s driver budget records rc=124 and nothing at
+        # all — strictly worse than a stale number); with nothing banked,
+        # ride out the full window hoping the tunnel recovers
+        window = 420 if cached else None
+        if os.environ.get("BENCH_TUNNEL_WINDOW_S"):
+            window = None  # explicit env wins either way
+        _check_backend_reachable(window_s=window)
     except RuntimeError as down:
         # tunnel stayed down for the whole retry window: emit the last good
         # result for this mode, marked stale, rather than recording nothing
-        cached = {}
-        if os.path.exists(_CACHE_FILE):
-            with open(_CACHE_FILE) as f:
-                cached = json.load(f).get(_bench_cache_key(args)) or {}
         if cached:
             print(json.dumps({**cached, "stale": True,
                               "stale_reason": str(down)}))
