@@ -46,6 +46,18 @@ def unfold_windows(x_nhwc: jax.Array, kernel: tuple[int, int], padding: int = 0,
     kh, kw = kernel
     oh = (h + 2 * padding - kh) // stride + 1
     ow = (w + 2 * padding - kw) // stride + 1
+    if padding == 0 and oh * ow <= 16:
+        # Few-window case (Refine's 3x3 grid over the 143^2 stage-2 layout):
+        # L static slices + one stack move exactly the window bytes once. The
+        # gather lowering below was profiled at 17.2 ms/step of the 40.5
+        # ms stage-2 refine step (fwd takes + (oh*kh,ow*kw) transpose, bwd
+        # scatter-pad fusions over the doubly-materialized intermediate);
+        # static slices need no index machinery and no relayout, and their
+        # backward is slice-of-grad / pad — the cheapest scatter XLA has.
+        wins = [x_nhwc[:, i * stride:i * stride + kh,
+                       j * stride:j * stride + kw, :]
+                for i in range(oh) for j in range(ow)]
+        return jnp.stack(wins, axis=1)
     rows = (stride * jnp.arange(oh))[:, None] + jnp.arange(kh)[None, :] - padding
     cols = (stride * jnp.arange(ow))[:, None] + jnp.arange(kw)[None, :] - padding
     g = jnp.take(x_nhwc, jnp.clip(rows.reshape(-1), 0, h - 1), axis=1)

@@ -68,6 +68,22 @@ def test_unfold_windows_matches_torch_unfold():
         np.testing.assert_allclose(ours, ref, atol=0)
 
 
+def test_unfold_windows_static_slice_matches_gather():
+    """The few-window static-slice lowering (stage-2 refine geometry: 3x3
+    grid) must agree bit-exactly with the generic gather lowering."""
+    from siammask_tpu.ops import unfold as U
+    x = RNG.randn(2, 69, 69, 4).astype(np.float32)
+    for kernel, stride in [((61, 61), 4), ((15, 15), 27)]:
+        fast = np.asarray(unfold_windows(jnp.asarray(x), kernel, stride=stride))
+        oh = (69 - kernel[0]) // stride + 1
+        assert fast.shape[1] == oh * oh <= 16  # static path taken
+        # force the gather path by building windows from the raw formula
+        ref = np.stack([x[:, i * stride:i * stride + kernel[0],
+                          j * stride:j * stride + kernel[1], :]
+                        for i in range(oh) for j in range(oh)], axis=1)
+        np.testing.assert_array_equal(fast, ref)
+
+
 def test_depthwise_xcorr_matches_torch():
     b, c = 2, 16
     x = RNG.randn(b, 29, 29, c).astype(np.float32)
