@@ -128,15 +128,30 @@ def select_mask_logistic_loss(p_m: jax.Array, mask: jax.Array, weight: jax.Array
     bi = sel_idx // l_cells
     cell = sel_idx % l_cells
 
-    # NB a single advanced-indexing gather for all K windows measured 273
-    # ms/step (XLA:TPU lowers multi-dim index arrays to near-scalar gathers);
-    # the vmapped dynamic_slice costs 1.9 ms and stays.
-    def one_window(b, y, x):
-        return jax.lax.dynamic_slice(pad_m, (b, 8 * y, 8 * x),
-                                     (1, g_sz, g_sz))[0]
-
-    gt_sel = jax.vmap(one_window)(bi, cell // sgrid,
-                                  cell % sgrid).reshape(-1, g_sz * g_sz)
+    # Window-extraction lowering history: a single advanced-indexing gather
+    # for all K windows measured 273 ms/step (XLA:TPU lowers multi-dim index
+    # arrays to near-scalar gathers); a vmapped dynamic_slice lowers to a
+    # SERIAL while loop over all K windows — profiled at 4.7 ms/step of the
+    # 45.9 ms stage-1 step (one 127-row slice + update per loop iteration,
+    # ~60x off memory speed-of-light). What stays: one flat row gather
+    # (contiguous 127-row runs, the gather shape TPUs execute well) + a
+    # one-hot matmul for the column windows — each output column is exactly
+    # one input column, so the MXU contraction is bit-exact and costs
+    # ~10 GFLOP at K=1024, noise next to the serial loop it replaces.
+    hp_ = mask.shape[1] + 2 * padding
+    wp_ = mask.shape[2] + 2 * padding
+    ys = cell // sgrid
+    xs = cell % sgrid
+    rows_flat = pad_m.reshape(-1, wp_)                       # (B*Hp, Wp)
+    ridx = (bi * hp_ + 8 * ys)[:, None] + jnp.arange(g_sz)[None, :]
+    slab = jnp.take(rows_flat, ridx.reshape(-1),
+                    axis=0).reshape(k_sel, g_sz, wp_)        # (K, g, Wp)
+    cols = (8 * xs)[:, None] + jnp.arange(g_sz)[None, :]     # (K, g)
+    onehot = (cols[:, :, None] ==
+              jnp.arange(wp_)[None, None, :]).astype(pad_m.dtype)
+    gt_sel = jnp.einsum("krw,kcw->krc", slab, onehot,
+                        preferred_element_type=pad_m.dtype
+                        ).reshape(-1, g_sz * g_sz)
 
     if p_m.ndim == 4:
         b, s1, s2, _ = p_m.shape

@@ -62,8 +62,11 @@ def depthwise_xcorr_shift(x: jax.Array, k: jax.Array) -> jax.Array:
     every tap is an elementwise multiply of an overlapping slice, so XLA fuses
     all Hk*Wk taps into ONE loop fusion whose output tiles re-read the same
     VMEM-resident input region — HBM traffic drops to x + k + out (~1 MB).
-    Latency-optimal at tracking batch sizes; for large training batches the
-    MXU im2col path wins (compute-rich), so training keeps impl='mm'.
+    Latency-optimal at tracking batch sizes. At train batch 64 the round-2
+    measurement also favored it (the im2col patches tensor is ~1 GB at the
+    stage-1 layout), so the train bench defaults to shift too; the three
+    fused heads still read ~3 ms/step in the stage-1 trace, so `--xcorr mm`
+    stays a measured alternative, not a dead branch.
     """
     b, hx, wx, c = x.shape
     _, hk, wk, _ = k.shape
