@@ -29,8 +29,16 @@ def save_checkpoint(path: str, variables: dict, opt_state=None, epoch: int = 0,
     if opt_state is not None:
         data["opt_state"] = _to_numpy(serialization.to_state_dict(opt_state))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
+    # Atomic publish: serialize to a sibling temp file, then rename. A crash
+    # (power loss, OOM-kill) mid-write must never leave a truncated msgpack at
+    # the published path — resume picks the newest checkpoint by name, so a
+    # half-written file silently poisons the restart.
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(data))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, opt_state_target=None) -> dict:

@@ -31,6 +31,35 @@ def test_checkpoint_roundtrip(tmp_path):
         ck["variables"]["params"]["rpn"]["cls"]["kernel"])
 
 
+def test_checkpoint_save_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-serialize must not clobber or truncate an existing
+    checkpoint at the same path (observed: a VM reset during save left a
+    truncated msgpack that poisoned resume)."""
+    from siammask_tpu.train import checkpoint as ck_mod
+
+    model = TinySiamMask()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 127, 127, 3)),
+                           jnp.zeros((1, 143, 143, 3)), method="forward_train")
+    path = str(tmp_path / "ck.msgpack")
+    save_checkpoint(path, variables, epoch=1)
+    good = open(path, "rb").read()
+
+    def boom(data):
+        raise RuntimeError("simulated crash mid-serialize")
+
+    monkeypatch.setattr(ck_mod.serialization, "msgpack_serialize", boom)
+    with pytest.raises(RuntimeError):
+        save_checkpoint(path, variables, epoch=2)
+    monkeypatch.undo()
+    assert open(path, "rb").read() == good          # old file untouched
+    assert load_checkpoint(path)["epoch"] == 1
+
+    # and a successful save replaces it atomically, leaving no temp files
+    save_checkpoint(path, variables, epoch=3)
+    assert load_checkpoint(path)["epoch"] == 3
+    assert [f for f in os.listdir(tmp_path) if ".tmp." in f] == []
+
+
 def _make_crop_dataset(tmp_path, n_videos=3, n_frames=4, size=511):
     """Synthetic pre-cropped dataset in the reference layout."""
     root = tmp_path / "crop511"
