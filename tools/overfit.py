@@ -278,7 +278,13 @@ def main():
     parser.add_argument("--train", action="store_true")
     parser.add_argument("--evaluate", action="store_true")
     parser.add_argument("--epochs1", type=int, default=16)
-    parser.add_argument("--epochs2", type=int, default=8)
+    # The refine head trains from fresh init against ~7% positive pixels and
+    # sits at the all-background soft-margin floor (~0.25) for ~500 steps
+    # before escaping (measured: a single-batch probe escapes at step ~480
+    # and reaches IoU@.5=1.0 by 600; an 8-epoch/512-step schedule decayed lr
+    # too early and never escaped). 24 epochs = 1536 steps keeps lr >= 0.005
+    # for ~1100 of them.
+    parser.add_argument("--epochs2", type=int, default=24)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--width", type=int, default=None,
                         help="reduced backbone width (CPU smoke runs)")
