@@ -173,6 +173,131 @@ def convert_state_dict(state: Mapping[str, np.ndarray]) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _flatten(tree: Mapping, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, Mapping):
+            out.update(_flatten(v, path))
+        else:
+            out[path] = np.asarray(v)
+    return out
+
+
+def _inv_conv_kernel(w: np.ndarray) -> np.ndarray:
+    """(kh,kw,I,O) -> (O,I,kh,kw) — inverse of _conv_kernel."""
+    return np.transpose(w, (3, 2, 0, 1))
+
+
+_BN_LEAF = {"scale": "weight", "bias": "bias", "mean": "running_mean",
+            "var": "running_var"}
+
+
+def _depthcorr_torch(rest: str) -> tuple[str, bool]:
+    """Inverse of _map_depthcorr: flax sub-path under a DepthCorr module ->
+    (torch sub-name, needs_conv_transpose)."""
+    m = re.match(r"^(conv_kernel|conv_search)\.conv\.kernel$", rest)
+    if m:
+        return f"{m.group(1)}.0.weight", True
+    m = re.match(r"^(conv_kernel|conv_search)\.bn\.(scale|bias|mean|var)$", rest)
+    if m:
+        return f"{m.group(1)}.1.{_BN_LEAF[m.group(2)]}", False
+    if rest == "head_conv1.conv.kernel":
+        return "head.0.weight", True
+    m = re.match(r"^head_conv1\.bn\.(scale|bias|mean|var)$", rest)
+    if m:
+        return f"head.1.{_BN_LEAF[m.group(1)]}", False
+    if rest == "head_conv2.kernel":
+        return "head.3.weight", True
+    if rest == "head_conv2.bias":
+        return "head.3.bias", False
+    raise KeyError(f"unmapped DepthCorr flax path: {rest}")
+
+
+def _torch_name(path: str) -> tuple[str, bool]:
+    """Flax dotted path (collection stripped) -> (reference state_dict name,
+    needs_conv_transpose). Inverse of the convert_state_dict mapping."""
+    # --- backbone ---
+    if path == "backbone.conv1.kernel":
+        return "features.features.conv1.weight", True
+    m = re.match(r"^backbone\.bn1\.(scale|bias|mean|var)$", path)
+    if m:
+        return f"features.features.bn1.{_BN_LEAF[m.group(1)]}", False
+    m = re.match(r"^backbone\.layer(\d)\.block(\d+)\.(.+)$", path)
+    if m:
+        lnum, bnum, rest = m.groups()
+        prefix = f"features.features.layer{lnum}.{bnum}"
+        m2 = re.match(r"^conv(\d)\.kernel$", rest)
+        if m2:
+            return f"{prefix}.conv{m2.group(1)}.weight", True
+        m2 = re.match(r"^bn(\d)\.(scale|bias|mean|var)$", rest)
+        if m2:
+            return f"{prefix}.bn{m2.group(1)}.{_BN_LEAF[m2.group(2)]}", False
+        if rest == "downsample_conv.kernel":
+            return f"{prefix}.downsample.0.weight", True
+        m2 = re.match(r"^downsample_bn\.(scale|bias|mean|var)$", rest)
+        if m2:
+            return f"{prefix}.downsample.1.{_BN_LEAF[m2.group(1)]}", False
+    # --- neck ---
+    if path == "neck.conv.kernel":
+        return "features.downsample.downsample.0.weight", True
+    m = re.match(r"^neck\.bn\.(scale|bias|mean|var)$", path)
+    if m:
+        return f"features.downsample.downsample.1.{_BN_LEAF[m.group(1)]}", False
+    # --- rpn heads ---
+    m = re.match(r"^rpn\.(cls|loc)\.(.+)$", path)
+    if m:
+        sub, t = _depthcorr_torch(m.group(2))
+        return f"rpn_model.{m.group(1)}.{sub}", t
+    # --- mask head ---
+    m = re.match(r"^mask_corr\.mask\.(.+)$", path)
+    if m:
+        sub, t = _depthcorr_torch(m.group(1))
+        return f"mask_model.mask.{sub}", t
+    # --- refine ---
+    m = re.match(r"^refine\.(v0|v1|v2|h0|h1|h2)\.conv([01])\.(kernel|bias)$",
+                 path)
+    if m:
+        block, idx, leaf = m.groups()
+        tidx = "0" if idx == "0" else "2"
+        if leaf == "kernel":
+            return f"refine_model.{block}.{tidx}.weight", True
+        return f"refine_model.{block}.{tidx}.bias", False
+    m = re.match(r"^refine\.deconv\.(kernel|bias)$", path)
+    if m:
+        # torch ConvTranspose2d weight is (in,out,kh,kw) — stored verbatim
+        return ("refine_model.deconv.weight" if m.group(1) == "kernel"
+                else "refine_model.deconv.bias"), False
+    m = re.match(r"^refine\.post([012])\.(kernel|bias)$", path)
+    if m:
+        idx, leaf = m.groups()
+        if leaf == "kernel":
+            return f"refine_model.post{idx}.weight", True
+        return f"refine_model.post{idx}.bias", False
+    raise KeyError(f"unmapped flax path: {path}")
+
+
+def invert_variables(variables: Mapping) -> dict:
+    """Flax variables {'params', 'batch_stats'} -> reference state_dict
+    {name: np.ndarray} — the exact inverse of convert_state_dict, enabling
+    the reference PyTorch stack (`experiments/siammask_sharp/custom.py`) to
+    run OUR trained checkpoints. Round-trip parity is pinned in
+    tests/test_model_parity.py. Emits num_batches_tracked=0 for every BN
+    (the reference's load_pretrain is strict about names, and torch BN in
+    eval mode never reads it)."""
+    state: dict = {}
+    for path, value in _flatten(variables["params"]).items():
+        name, transpose = _torch_name(path)
+        state[name] = _inv_conv_kernel(value) if transpose else value
+    for path, value in _flatten(variables.get("batch_stats", {})).items():
+        name, _ = _torch_name(path)
+        state[name] = value
+        if name.endswith("running_var"):
+            state[name.replace("running_var", "num_batches_tracked")] = \
+                np.asarray(0, np.int64)
+    return state
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a reference .pth checkpoint and convert to flax variables.
 

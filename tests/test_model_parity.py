@@ -111,3 +111,29 @@ def test_refine_all_matches_torch_train_path(oracle, converted, inputs):
     refined = model.apply(converted, out.skips, out.corr, method="refine_all")
     assert refined.shape == refined_t.shape
     assert rel_err(np.asarray(refined), refined_t.detach().numpy()) < 5e-4
+
+
+def test_invert_variables_round_trip(oracle, converted):
+    """invert_variables is the exact inverse of convert_state_dict: the
+    reference net's state_dict -> flax -> state_dict round-trips bit-exactly
+    (names AND values), so the reference stack can run OUR checkpoints."""
+    from siammask_tpu.utils.torch_convert import invert_variables
+
+    ref_state = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    back = invert_variables(converted)
+    assert set(back) == set(ref_state)
+    for name, ref_v in ref_state.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(back[name], ref_v, err_msg=name)
+
+
+def test_reference_net_loads_inverted_ours(oracle, converted):
+    """The torch reference net strict-loads an inverted OUR-side tree and
+    produces the same template features as our model — the direction the
+    trained-weights parity run uses (ours -> reference)."""
+    from siammask_tpu.utils.torch_convert import invert_variables
+
+    state = {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in invert_variables(converted).items()}
+    oracle.load_state_dict(state, strict=True)

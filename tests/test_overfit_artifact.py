@@ -1,0 +1,55 @@
+"""The checked-in overfit-experiment artifact records that training LEARNS.
+
+tools/overfit.py (the offline analogue of the reference's two-stage recipe,
+`run.sh` -> tools/train_siammask.py -> tools/train_siammask_refine.py) was run
+end-to-end on the real TPU chip; its report is committed at
+experiments/overfit_tennis/report.json. This test pins the artifact's claims
+so a regression that silently weakens them (or an accidental overwrite with a
+failed run) turns the suite red:
+
+  (a) train fit: the trained checkpoint's losses are far below init's and
+      train-batch mask IoU@.5 is high;
+  (b) held-out tracking: the trained checkpoint tracks frames it never saw
+      better than its init.
+
+The artifact is the proof (produced on hardware); this test is the record.
+"""
+import json
+from os.path import dirname, exists, join, realpath
+
+import pytest
+
+REPORT = join(dirname(dirname(realpath(__file__))),
+              "experiments", "overfit_tennis", "report.json")
+
+
+@pytest.fixture(scope="module")
+def report():
+    if not exists(REPORT):
+        pytest.skip("overfit artifact not produced yet (see tools/overfit.py)")
+    with open(REPORT) as f:
+        return json.load(f)
+
+
+def test_train_fit_losses_collapse(report):
+    init = report["train_fit"]["init"]
+    trained = report["train_fit"]["trained"]
+    # mask loss is the stage-2 objective (loss weight (0,0,36)) — >10x fall
+    assert trained["mask_loss"] < init["mask_loss"] / 10
+    assert trained["total_loss"] < init["total_loss"] / 10
+
+
+def test_train_fit_mask_iou(report):
+    assert report["train_fit"]["init"]["iou_at_5"] < 0.2
+    assert report["train_fit"]["trained"]["iou_at_5"] > 0.85
+    assert report["train_fit"]["trained"]["iou_mean"] > 0.6
+
+
+def test_held_out_tracking_improves(report):
+    init = report["held_out_tracking"]["init"]
+    trained = report["held_out_tracking"]["trained"]
+    # frames >= held_out_start were never trained on (tools/overfit.py)
+    assert report["held_out_start"] == 56
+    assert trained["mean_iou"] > init["mean_iou"] + 0.2
+    assert trained["mean_iou"] > 0.5
+    assert trained["lost"] <= init["lost"]

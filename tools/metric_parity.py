@@ -166,6 +166,12 @@ def main():
                              "random masks; implies --skip-vos")
     parser.add_argument("--json-out", default=None,
                         help="also write the result JSON to this path")
+    parser.add_argument("--weights", default=None,
+                        help="OUR .msgpack checkpoint to run BOTH stacks with "
+                             "(pushed into the torch reference net via "
+                             "utils.torch_convert.invert_variables) instead "
+                             "of LSUV-tempered random weights — the trained-"
+                             "weights parity configuration")
     args = parser.parse_args()
 
     if args.platform:
@@ -196,7 +202,21 @@ def main():
 
     frames = _tennis_frames(args.frames)
     print(f"{len(frames)} tennis frames", flush=True)
-    parity_report.temper_reference_net(net, frames[0])
+    if args.weights:
+        # trained-weights mode: our checkpoint drives BOTH stacks
+        import torch
+
+        from siammask_tpu.train.checkpoint import load_checkpoint
+        from siammask_tpu.utils.torch_convert import invert_variables
+
+        ckpt_vars = load_checkpoint(args.weights)["variables"]
+        state = {k: torch.from_numpy(np.ascontiguousarray(v))
+                 for k, v in invert_variables(ckpt_vars).items()}
+        net.load_state_dict(state, strict=True)
+        print(f"loaded {len(state)} tensors from {args.weights} into the "
+              f"reference net", flush=True)
+    else:
+        parity_report.temper_reference_net(net, frames[0])
 
     # ---- our stack, same weights
     import jax.numpy as jnp
