@@ -140,7 +140,8 @@ def bench_train(args):
     rng = np.random.RandomState(0)
     if refine:
         from siammask_tpu.models.siammask import SiamMaskSharp
-        model = SiamMaskSharp(dtype=dtype, xcorr_impl=args.xcorr or "shift")
+        model = SiamMaskSharp(dtype=dtype, xcorr_impl=args.xcorr or "shift",
+                              thin_conv_threshold=args.thin_threshold)
         search, size = 143, 3
         settings = TrainSettings(task="sharp_refine",
                                  loss_weight=(0.0, 0.0, 36.0), mask_pad=0)
@@ -370,6 +371,14 @@ def main():
                              "frozen-BN backbone+rpn)")
     parser.add_argument("--batch", type=int, default=64,
                         help="--train mode global batch (reference run.sh: 64)")
+    parser.add_argument("--thin-threshold", type=int, default=0,
+                        help="--train-refine: Ci*Co at or below this lower "
+                             "3x3 convs as 9 VPU shift-FMAs instead of an "
+                             "MXU conv (the batch-1 tracker's latency "
+                             "lowering; measures whether the refine "
+                             "decoder's thin convs — Co=16/4/1 filling "
+                             "3-13% of the MXU's output width — also win "
+                             "at training batch sizes)")
     parser.add_argument("--remat", action="store_true",
                         help="--train mode: rematerialized backward")
     parser.add_argument("--unfrozen", action="store_true",
