@@ -117,9 +117,14 @@ class Tracker:
         self.window = jnp.asarray(make_window(p))
         self._init_jit = jax.jit(self._init_impl)
         # NOTE: donate_argnums=(1,) on the carried state would save ~0.1ms of
-        # state round-trip copies per frame, but the axon TPU relay rejects
-        # aliased buffers (INVALID_ARGUMENT on the first donated step), so the
-        # step stays copy-in/copy-out.
+        # state round-trip copies per frame on the host-driven per-step path.
+        # Round 2: the axon relay rejected aliased buffers (INVALID_ARGUMENT).
+        # Round 4 re-probe (tools/scan_lab.py --variants donate): ACCEPTED —
+        # but the headline scan path already aliases its carry inside the
+        # compiled loop (donation only affects program inputs, once per
+        # 64-frame dispatch), and on the per-step path the ~0.1 ms sits far
+        # below the tunnel RTT while making every held state reference a
+        # use-after-donate hazard for external drivers. Kept copy-in/copy-out.
         self._step_jit = jax.jit(self._step_impl)
 
     # ---------------- init ----------------

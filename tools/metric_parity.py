@@ -172,6 +172,12 @@ def main():
                              "utils.torch_convert.invert_variables) instead "
                              "of LSUV-tempered random weights — the trained-"
                              "weights parity configuration")
+    parser.add_argument("--init-box", default=None,
+                        help="cx,cy,w,h init target box (default: the "
+                             "tempered-harness torso box; trained-weights "
+                             "runs should pass the checkpoint's "
+                             "in-distribution box, e.g. the tennis player: "
+                             "387,238,165,260)")
     args = parser.parse_args()
 
     if args.platform:
@@ -241,8 +247,19 @@ def main():
         SiamMaskSharp(xcorr_impl=args.xcorr, dtype=our_dtype), variables,
         p, mask=mask_on, refine=mask_on, latency_lowerings=lat)
 
-    pos0 = np.array([336.0, 175.0])
-    sz0 = np.array([56.0, 140.0])
+    # Default init: the narrow torso box the tempered-random-weight harness
+    # was built around. For --weights (trained-checkpoint) runs pass
+    # --init-box with an in-distribution target box: an overfit checkpoint
+    # started off-distribution produces an unstable closed loop in BOTH
+    # stacks (measured: from this default box even the fp32 trained tracker
+    # leaves the player within frames, so the ref-trajectory pseudo-gt is
+    # chaos — any ~ULP perturbation then reads as a huge fake metric delta).
+    if args.init_box:
+        cx, cy, bw, bh = (float(v) for v in args.init_box.split(","))
+        pos0, sz0 = np.array([cx, cy]), np.array([bw, bh])
+    else:
+        pos0 = np.array([336.0, 175.0])
+        sz0 = np.array([56.0, 140.0])
     h, w = frames[0].shape[:2]
 
     # ---- build the pseudo-VOT benchmark (gt from the reference itself)

@@ -190,6 +190,10 @@ def main():
                              "parity run compares algorithms, not ~1-ULP "
                              "lowering reduction orders (each lowering is "
                              "unit-pinned equivalent separately)")
+    parser.add_argument("--weights", default=None,
+                        help="OUR .msgpack checkpoint for BOTH stacks "
+                             "(via utils.torch_convert.invert_variables) "
+                             "instead of LSUV-tempered random weights")
     args = parser.parse_args()
 
     if args.platform:
@@ -217,7 +221,17 @@ def main():
     print(f"{len(frames)} tennis frames")
 
     ref_test, net = load_reference()
-    temper_reference_net(net, frames[0])
+    if args.weights:
+        from siammask_tpu.train.checkpoint import load_checkpoint
+        from siammask_tpu.utils.torch_convert import invert_variables
+
+        ckpt_vars = load_checkpoint(args.weights)["variables"]
+        net.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in invert_variables(ckpt_vars).items()}, strict=True)
+        print(f"loaded trained weights: {args.weights}")
+    else:
+        temper_reference_net(net, frames[0])
     variables = convert_state_dict(
         {k: v.detach().numpy() for k, v in net.state_dict().items()})
 
