@@ -141,7 +141,8 @@ def bench_train(args):
     if refine:
         from siammask_tpu.models.siammask import SiamMaskSharp
         model = SiamMaskSharp(dtype=dtype, xcorr_impl=args.xcorr or "shift",
-                              thin_conv_threshold=args.thin_threshold)
+                              thin_conv_threshold=args.thin_threshold,
+                              packed_conv_threshold=args.packed_threshold)
         search, size = 143, 3
         settings = TrainSettings(task="sharp_refine",
                                  loss_weight=(0.0, 0.0, 36.0), mask_pad=0)
@@ -177,8 +178,20 @@ def bench_train(args):
 
     # analytic FLOPs BEFORE the first execution: the step donates its
     # variables/opt_state buffers, so tracing with the post-loop (deleted)
-    # arrays would fail
-    fpb = _flops_per_frame(step, (variables, opt_state, batch, lr), 1)
+    # arrays would fail. With the packed thin-conv lowering the MFU
+    # numerator must stay the MODEL's FLOPs, not the lowering's (the packed
+    # 2x2 kernel carries 16/9 structural zeros) — trace the unpacked step
+    # for counting only.
+    if refine and args.packed_threshold:
+        from siammask_tpu.models.siammask import SiamMaskSharp
+        ref_model = SiamMaskSharp(dtype=dtype, xcorr_impl=args.xcorr or "shift",
+                                  thin_conv_threshold=args.thin_threshold)
+        ref_step = make_train_step(ref_model, settings, tx,
+                                   unfreeze_backbone=args.unfrozen,
+                                   remat=args.remat)
+        fpb = _flops_per_frame(ref_step, (variables, opt_state, batch, lr), 1)
+    else:
+        fpb = _flops_per_frame(step, (variables, opt_state, batch, lr), 1)
 
     # K chained steps per dispatch (mirrors the tracker's scan benchmark):
     # host-driven per-step dispatch through the tunnel relay measured wall
@@ -379,6 +392,13 @@ def main():
                              "decoder's thin convs — Co=16/4/1 filling "
                              "3-13% of the MXU's output width — also win "
                              "at training batch sizes)")
+    parser.add_argument("--packed-threshold", type=int, default=0,
+                        help="--train-refine: Co at or below this lower 3x3 "
+                             "convs as a 2x2 conv over block-2 space-to-"
+                             "depth-packed pixels (heads._conv3x3_packed) — "
+                             "4x the MXU output-lane fill for a 16/9 "
+                             "structural-zero FLOP overhead; the batched-"
+                             "path counterpart of --thin-threshold")
     parser.add_argument("--remat", action="store_true",
                         help="--train mode: rematerialized backward")
     parser.add_argument("--unfrozen", action="store_true",

@@ -157,6 +157,67 @@ class DeconvExpand(nn.Module):
         return out + bias
 
 
+def _conv3x3_packed(xd: jax.Array, k: jax.Array) -> jax.Array:
+    """3x3 pad-1 conv lowered as block-2 space-to-depth on BOTH sides.
+
+    The Refine decoder's tail convs have tiny output-channel counts
+    (Co=16/4/1) at large spatial extents (31^2..127^2): as plain convs each
+    output pixel row of the implied matmul fills only Co of the MXU's 128
+    output lanes (3-13%). Re-blocking 2x2 pixels into channels — the
+    output-side dual of ``resnet.SpaceToDepthStem`` — computes the same
+    linear map as a 2x2 VALID conv from 4*Ci packed input channels to 4*Co
+    packed output phases: 4x the output-lane fill for a 16/9 structural-zero
+    FLOP overhead (each 2x2 output block's true receptive field is the full
+    4x4 input patch the packed taps cover, but per phase only 9 of the 16
+    pixels carry nonzero kernel).  Pack/unpack use the row-phase
+    strided-slice + minor-dim merge moves XLA fuses (a naive 6-D
+    reshape+transpose relayouts across the tile grid; see SpaceToDepthStem).
+
+    Exact same map as ``lax.conv_general_dilated(pad=1)`` up to fp
+    accumulation order (pinned in tests/test_ops.py).
+    """
+    b, h, w, ci = xd.shape
+    co = k.shape[-1]
+    h2, w2 = (h + 1) // 2, (w + 1) // 2        # output 2x2 block grid
+    # input rows needed: -1 .. 2*h2 (pad-1 ring + round-up row), i.e.
+    # 2*(h2+1) rows after a (1, 2*h2+1-h) pad. Padded pixels are consumed
+    # only by sliced-off outputs or zero kernel taps.
+    xp = jnp.pad(xd, ((0, 0), (1, 2 * h2 + 1 - h), (1, 2 * w2 + 1 - w),
+                      (0, 0)))
+    hb, wb = h2 + 1, w2 + 1
+    x_even = xp[:, 0::2].reshape(b, hb, wb, 2 * ci)
+    x_odd = xp[:, 1::2].reshape(b, hb, wb, 2 * ci)
+    xs = jnp.concatenate([x_even, x_odd], axis=-1)   # (sy, sx, c) channels
+
+    # packed kernel (2, 2, 4Ci, 4Co): packed tap (ty, tx) of output phase
+    # (py, px) reads input phase (dy, dx) through original tap
+    # (2*ty+dy-py, 2*tx+dx-px) when that lands inside the 3x3 kernel.
+    zero = jnp.zeros_like(k[0, 0])                   # (Ci, Co)
+
+    def tap(u, v):
+        return k[u, v] if 0 <= u < 3 and 0 <= v < 3 else zero
+
+    phases = [(0, 0), (0, 1), (1, 0), (1, 1)]        # (major, minor) order
+    kp = jnp.stack([
+        jnp.stack([
+            jnp.concatenate([
+                jnp.concatenate([tap(2 * ty + dy - py, 2 * tx + dx - px)
+                                 for (py, px) in phases], axis=1)
+                for (dy, dx) in phases], axis=0)
+            for tx in range(2)])
+        for ty in range(2)])
+    out_p = jax.lax.conv_general_dilated(
+        xs, kp, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (b, h2, w2, 4Co)
+
+    # depth-to-space: channels (py, px, co) -> pixels, then crop the
+    # round-up row/col.
+    o0 = out_p[..., :2 * co].reshape(b, h2, 2 * w2, co)
+    o1 = out_p[..., 2 * co:].reshape(b, h2, 2 * w2, co)
+    out = jnp.stack([o0, o1], axis=2).reshape(b, 2 * h2, 2 * w2, co)
+    return out[:, :h, :w]
+
+
 class Conv3x3(nn.Module):
     """3x3 pad-1 conv whose lowering adapts to the channel geometry.
 
@@ -175,6 +236,9 @@ class Conv3x3(nn.Module):
     features: int
     dtype: Any = jnp.float32
     shift_threshold: int = 0  # use shift lowering when 0 < Ci*Co <= this
+    # use the block-2 output-packed lowering (see _conv3x3_packed) when
+    # 0 < Co <= this and the shift path was not chosen. 0 = plain MXU conv.
+    packed_threshold: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -186,9 +250,12 @@ class Conv3x3(nn.Module):
         k = kernel.astype(self.dtype)
         xd = x.astype(self.dtype)
         if ci * self.features > self.shift_threshold:
-            out = jax.lax.conv_general_dilated(
-                xd, k, (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if 0 < self.features <= self.packed_threshold:
+                out = _conv3x3_packed(xd, k)
+            else:
+                out = jax.lax.conv_general_dilated(
+                    xd, k, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
         else:
             b, h, w, _ = x.shape
             xp = jnp.pad(xd, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -206,13 +273,14 @@ class ConvReluBlock(nn.Module):
     out: int
     dtype: Any = jnp.float32
     thin_threshold: int = 0
+    packed_threshold: int = 0
 
     @nn.compact
     def __call__(self, x):
         x = nn.relu(Conv3x3(self.mid, self.dtype, self.thin_threshold,
-                            name="conv0")(x))
+                            self.packed_threshold, name="conv0")(x))
         return nn.relu(Conv3x3(self.out, self.dtype, self.thin_threshold,
-                               name="conv1")(x))
+                               self.packed_threshold, name="conv1")(x))
 
 
 class Refine(nn.Module):
@@ -230,6 +298,10 @@ class Refine(nn.Module):
     # default 0 keeps every conv on the MXU — correct for training and
     # batched serving; the batch-1 tracker opts in via the model knob.
     thin_conv_threshold: int = 0
+    # Co at or below this use the block-2 output-packed MXU lowering
+    # (_conv3x3_packed) — a batched-path remedy for the same underfill the
+    # shift lowering fixes at batch 1.
+    packed_conv_threshold: int = 0
     # channel count of the per-cell corr vector (= the neck width; 256 at the
     # real model width, scaled down with the model's width knob)
     corr_features: int = 256
@@ -237,16 +309,17 @@ class Refine(nn.Module):
     def setup(self):
         d = self.dtype
         t = self.thin_conv_threshold
-        self.v0 = ConvReluBlock(16, 4, d, t, name="v0")
-        self.v1 = ConvReluBlock(64, 16, d, t, name="v1")
-        self.v2 = ConvReluBlock(128, 32, d, t, name="v2")
-        self.h2 = ConvReluBlock(32, 32, d, t, name="h2")
-        self.h1 = ConvReluBlock(16, 16, d, t, name="h1")
-        self.h0 = ConvReluBlock(4, 4, d, t, name="h0")
+        p = self.packed_conv_threshold
+        self.v0 = ConvReluBlock(16, 4, d, t, p, name="v0")
+        self.v1 = ConvReluBlock(64, 16, d, t, p, name="v1")
+        self.v2 = ConvReluBlock(128, 32, d, t, p, name="v2")
+        self.h2 = ConvReluBlock(32, 32, d, t, p, name="h2")
+        self.h1 = ConvReluBlock(16, 16, d, t, p, name="h1")
+        self.h0 = ConvReluBlock(4, 4, d, t, p, name="h0")
         self.deconv = DeconvExpand(self.corr_features, 32, 15, d, name="deconv")
-        self.post0 = Conv3x3(16, d, t, name="post0")
-        self.post1 = Conv3x3(4, d, t, name="post1")
-        self.post2 = Conv3x3(1, d, t, name="post2")
+        self.post0 = Conv3x3(16, d, t, p, name="post0")
+        self.post1 = Conv3x3(4, d, t, p, name="post1")
+        self.post2 = Conv3x3(1, d, t, p, name="post2")
 
     def __call__(self, p0, p1, p2, corr):
         """p0 (B,61,61,64), p1 (B,31,31,256), p2 (B,15,15,512), corr (B,256)

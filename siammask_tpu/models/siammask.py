@@ -158,6 +158,10 @@ class SiamMaskSharp(nn.Module):
     # (see heads.Conv3x3): 0 = MXU everywhere (training / batched serving);
     # the batch-1 tracker clones the model with 128 (tracker.py).
     thin_conv_threshold: int = 0
+    # block-2 output-packed lowering cutoff for the same thin convs on the
+    # BATCHED paths (heads._conv3x3_packed): Co <= this run as a 2x2 conv
+    # over space-to-depth-packed pixels, 4x the MXU output-lane fill.
+    packed_conv_threshold: int = 0
     width: int = 64
     stem_s2d: bool = False  # see SiamRPN.stem_s2d
     maxpool_phase: bool = False  # see SiamRPN.maxpool_phase
@@ -179,6 +183,7 @@ class SiamMaskSharp(nn.Module):
                                   name="mask_corr")
         self.refine = Refine(dtype=self.dtype,
                              thin_conv_threshold=self.thin_conv_threshold,
+                             packed_conv_threshold=self.packed_conv_threshold,
                              corr_features=4 * self.width,
                              name="refine")
 

@@ -265,6 +265,34 @@ def test_conv3x3_lowerings_match_nn_conv(ci, co, shift_threshold):
         g_got, g_want)
 
 
+@pytest.mark.parametrize("ci,co,h,w", [(4, 1, 13, 13), (16, 4, 12, 14),
+                                       (64, 16, 15, 15), (4, 4, 9, 11)])
+def test_conv3x3_packed_lowering_matches_nn_conv(ci, co, h, w):
+    """The block-2 output-packed lowering (heads._conv3x3_packed) computes
+    the same linear map as nn.Conv 3x3 pad-1 — the packed 2x2 kernel's
+    structural zeros and the round-up row/col crop must be exact for odd AND
+    even spatial extents, forward and backward (it runs inside the refine
+    training step when packed_threshold is set)."""
+    import flax.linen as nn
+
+    from siammask_tpu.models.heads import Conv3x3
+
+    mod = Conv3x3(co, packed_threshold=co)
+    x = jnp.asarray(RNG.randn(2, h, w, ci), jnp.float32)
+    ref = nn.Conv(co, (3, 3), padding=[(1, 1), (1, 1)])
+    variables = ref.init(jax.random.PRNGKey(2), x)
+    got = mod.apply(variables, x)
+    want = ref.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    g_got = jax.grad(lambda v: jnp.mean(mod.apply(v, x) ** 2))(variables)
+    g_want = jax.grad(lambda v: jnp.mean(ref.apply(v, x) ** 2))(variables)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-4, atol=1e-4),
+        g_got, g_want)
+
+
 def test_bench_flop_walker_counts_exactly():
     """bench._flops_per_frame must count conv/dot FLOPs exactly (2*MACs),
     multiply scan bodies by trip count, and ignore patch-extraction convs —
