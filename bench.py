@@ -181,12 +181,11 @@ def bench_train(args):
     # arrays would fail. With the packed thin-conv lowering the MFU
     # numerator must stay the MODEL's FLOPs, not the lowering's (the packed
     # 2x2 kernel carries 16/9 structural zeros) — trace the unpacked step
-    # for counting only.
+    # for counting only. clone() keeps the counting model's every other knob
+    # identical to the measured one by construction.
     if refine and args.packed_threshold:
-        from siammask_tpu.models.siammask import SiamMaskSharp
-        ref_model = SiamMaskSharp(dtype=dtype, xcorr_impl=args.xcorr or "shift",
-                                  thin_conv_threshold=args.thin_threshold)
-        ref_step = make_train_step(ref_model, settings, tx,
+        ref_step = make_train_step(model.clone(packed_conv_threshold=0),
+                                   settings, tx,
                                    unfreeze_backbone=args.unfrozen,
                                    remat=args.remat)
         fpb = _flops_per_frame(ref_step, (variables, opt_state, batch, lr), 1)
@@ -326,10 +325,7 @@ def _emit_result(payload: dict, cache_key: str):
     with a ``stale: true`` marker instead of recording nothing."""
     print(json.dumps(payload))
     try:
-        cache = {}
-        if os.path.exists(_CACHE_FILE):
-            with open(_CACHE_FILE) as f:
-                cache = json.load(f)
+        cache = _load_cache()
         cache[cache_key] = {**payload, "cached_at": time.strftime(
             "%Y-%m-%dT%H:%M:%S%z")}
         with open(_CACHE_FILE, "w") as f:
@@ -340,13 +336,73 @@ def _emit_result(payload: dict, cache_key: str):
 
 
 def _bench_cache_key(args) -> str:
+    """Canonical cache key for a bench configuration.
+
+    Knobs a mode does not consume are normalized to their defaults before
+    keying (advisor r4: a scan run with --packed-threshold 32 used to
+    re-measure an identical program under a fresh key): the tracker modes
+    ignore every training knob, the base-train mode additionally ignores the
+    refine-only conv lowerings, and the training modes ignore the tracker's
+    scan geometry."""
     sig = {k: v for k, v in sorted(vars(args).items())
-           if k not in ("profile_dir", "iters")}
+           if k not in ("profile_dir", "iters", "summary")}
+    defaults = {k: p.default for k, p in
+                _build_parser()._option_string_actions.items()}
+    train_mode = sig.get("train") or sig.get("train_refine")
+    ignored = ["scan", "streams", "per_step"] if train_mode else \
+        ["batch", "remat", "unfrozen", "thin_threshold", "packed_threshold"]
+    if train_mode and not sig.get("train_refine"):
+        ignored += ["thin_threshold", "packed_threshold"]
+    for k in ignored:
+        sig[k] = defaults["--" + k.replace("_", "-")]
     return json.dumps(sig, sort_keys=True)
 
 
-def main():
+def _load_cache() -> dict:
+    """Read bench_cache.json, re-keying entries saved under older arg
+    signatures onto the current canonical key (missing args filled with
+    their parser defaults, ignored args normalized). On collision the
+    newest ``cached_at`` wins; non-JSON keys are kept verbatim."""
+    if not os.path.exists(_CACHE_FILE):
+        return {}
+    try:
+        with open(_CACHE_FILE) as f:
+            raw = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    base = vars(_build_parser().parse_args([]))
+    cache: dict = {}
+    for key, payload in raw.items():
+        try:
+            sig = json.loads(key)
+        except ValueError:
+            cache[key] = payload
+            continue
+        if not isinstance(sig, dict):
+            cache[key] = payload
+            continue
+        merged = dict(base)
+        merged.update({k: v for k, v in sig.items() if k in base})
+        new_key = _bench_cache_key(argparse.Namespace(**merged))
+        old = cache.get(new_key)
+        if old is None or old.get("cached_at", "") <= payload.get(
+                "cached_at", ""):
+            cache[new_key] = payload
+    return cache
+
+
+def _build_parser():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--summary", action="store_true",
+                        help="run the whole performance table (scan, 16-stream "
+                             "serving, train frozen/unfrozen/refine) as "
+                             "sequential subprocess rows and print ONE JSON "
+                             "line: the scan headline plus a 'summary' dict "
+                             "with every row. Rows that cannot be re-measured "
+                             "inside BENCH_SUMMARY_BUDGET_S fall back to the "
+                             "last good cached number, marked from_cache. "
+                             "Default when bench.py runs with no arguments "
+                             "(the driver invocation).")
     parser.add_argument("--profile-dir", default=None,
                         help="write a jax.profiler trace of the timed loop here")
     # default sized so the scan mode issues enough 64-frame windows (16) to
@@ -404,11 +460,114 @@ def main():
     parser.add_argument("--unfrozen", action="store_true",
                         help="--train mode: epoch>=50%% phase (backbone "
                              "layer2/3 training; the expensive backward)")
-    args = parser.parse_args()
-    cached = {}
-    if os.path.exists(_CACHE_FILE):
-        with open(_CACHE_FILE) as f:
-            cached = json.load(f).get(_bench_cache_key(args)) or {}
+    return parser
+
+
+# the five driver-attested rows of the README performance table; the first is
+# the headline (its metric/value stay top-level for BENCH_r0N compatibility)
+_SUMMARY_ROWS = (
+    # every row MUST carry at least one explicit flag: a bare `python
+    # bench.py` routes to summary mode, so a flagless row would recurse
+    # (measured once: a fork bomb ~100 processes deep). A BENCH_IN_SUMMARY
+    # env guard backstops this invariant.
+    ("scan", ["--scan", "64"]),
+    ("serving_16streams", ["--streams", "16"]),
+    ("train_frozen", ["--train"]),
+    ("train_unfrozen", ["--train", "--unfrozen"]),
+    ("train_refine", ["--train-refine"]),
+)
+
+
+def run_summary():
+    """Measure every row of the performance table in ONE bench invocation.
+
+    Each row runs as its own subprocess (`python bench.py <row flags>`), so a
+    row that hangs (cold remote compile, tunnel outage) can be bounded without
+    taking the whole attestation down. Budget discipline: rows run until
+    BENCH_SUMMARY_BUDGET_S (default 420 s — inside the driver's own timeout)
+    is spent; once a row times out or the budget runs dry, the remaining rows
+    are emitted from the last good cache, marked ``from_cache`` (a killed TPU
+    process can wedge the chip for minutes — CLAUDE.md — so no new device
+    process starts after a kill). Children probe the tunnel with a short
+    window (BENCH_TUNNEL_WINDOW_S=90) and emit their own stale-cache fallback
+    if it is down. The parent never imports jax, so it always prints the final
+    line."""
+    import subprocess
+    import sys
+
+    if os.environ.get("BENCH_IN_SUMMARY"):
+        raise RuntimeError(
+            "run_summary re-entered from a summary child — a row's argv must "
+            "carry an explicit flag so the child takes a single-mode path")
+    budget = float(os.environ.get("BENCH_SUMMARY_BUDGET_S", "420"))
+    t0 = time.monotonic()
+    cache = _load_cache()
+    results = {}
+    killed = False
+    for name, argv in _SUMMARY_ROWS:
+        key = _bench_cache_key(_build_parser().parse_args(argv))
+        banked = cache.get(key)
+        remaining = budget - (time.monotonic() - t0)
+        if killed or remaining < 45:
+            reason = ("previous row killed; chip may be wedged" if killed
+                      else "summary budget exhausted")
+            results[name] = ({**banked, "from_cache": True,
+                              "cache_reason": reason} if banked else
+                             {"error": f"no measurement: {reason}"})
+            continue
+        env = dict(os.environ)
+        env.setdefault("BENCH_TUNNEL_WINDOW_S", "90")
+        env["BENCH_IN_SUMMARY"] = "1"
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + argv,
+                timeout=remaining, capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            payload = None
+            for line in reversed(proc.stdout.strip().splitlines()):
+                try:
+                    payload = json.loads(line)
+                    break
+                except ValueError:
+                    continue
+            if proc.returncode != 0 or payload is None:
+                raise RuntimeError(
+                    f"rc={proc.returncode}: {proc.stderr.strip()[-300:]}")
+            results[name] = payload
+        except subprocess.TimeoutExpired:
+            killed = True
+            results[name] = ({**banked, "from_cache": True, "cache_reason":
+                              f"row timed out after {remaining:.0f}s"}
+                             if banked else
+                             {"error": f"timed out after {remaining:.0f}s, "
+                                       "no cached value"})
+        except (RuntimeError, OSError) as e:
+            results[name] = ({**banked, "from_cache": True,
+                              "cache_reason": str(e)[:300]} if banked else
+                             {"error": str(e)[:300]})
+        print(f"bench summary: {name} done "
+              f"[{time.monotonic() - t0:.0f}s/{budget:.0f}s]",
+              file=sys.stderr, flush=True)
+
+    headline = results[_SUMMARY_ROWS[0][0]]
+    top = {k: headline[k] for k in ("metric", "value", "unit", "vs_baseline")
+           if k in headline} or {"metric": "siammask_summary", "value": 0.0,
+                                 "unit": "fps", "vs_baseline": 0.0}
+    print(json.dumps({**top, "summary": results}))
+
+
+def main():
+    import sys
+    args = _build_parser().parse_args()
+    if args.summary or len(sys.argv) == 1:
+        return run_summary()
+    if args.packed_threshold and not args.train_refine:
+        print("bench: --packed-threshold only affects --train-refine; "
+              "ignored in this mode", file=sys.stderr)
+    if args.thin_threshold and not args.train_refine:
+        print("bench: --thin-threshold only affects --train-refine; "
+              "ignored in this mode", file=sys.stderr)
+    cached = _load_cache().get(_bench_cache_key(args)) or {}
     try:
         # adaptive retry window: with a last-good result banked, stop probing
         # early enough to EMIT it inside the driver's own timeout (a 3600 s

@@ -49,6 +49,52 @@ def test_probe_raises_after_window_exhausted(bench, monkeypatch):
         bench._check_backend_reachable(window_s=600)
 
 
+def test_summary_mode_emits_all_rows_from_cache(bench, monkeypatch, tmp_path,
+                                                capsys):
+    """With a zero budget the summary must still print one JSON line carrying
+    the scan headline plus all five table rows from the cache, each marked
+    from_cache (the outage-proof floor of the driver attestation)."""
+    cache_file = tmp_path / "bench_cache.json"
+    monkeypatch.setattr(bench, "_CACHE_FILE", str(cache_file))
+    monkeypatch.setenv("BENCH_SUMMARY_BUDGET_S", "0")
+
+    for name, argv in bench._SUMMARY_ROWS:
+        key = bench._bench_cache_key(bench._build_parser().parse_args(argv))
+        bench._emit_result({"metric": f"m_{name}", "value": 42.0,
+                            "unit": "fps", "vs_baseline": 1.0}, key)
+    capsys.readouterr()
+
+    bench.run_summary()
+    out = capsys.readouterr().out.strip()
+    payload = json.loads(out)
+    assert payload["metric"] == "m_scan" and payload["value"] == 42.0
+    assert set(payload["summary"]) == {n for n, _ in bench._SUMMARY_ROWS}
+    for name, row in payload["summary"].items():
+        assert row["from_cache"] is True, name
+        assert row["metric"] == f"m_{name}"
+
+
+def test_summary_row_keys_are_distinct(bench):
+    """Every summary row must key to its own cache slot — a collision would
+    silently report one row's number under another's name."""
+    keys = [bench._bench_cache_key(bench._build_parser().parse_args(argv))
+            for _, argv in bench._SUMMARY_ROWS]
+    assert len(set(keys)) == len(keys)
+
+
+def test_summary_rows_cannot_recurse(bench, monkeypatch):
+    """A flagless row would make its child a bare invocation, which routes to
+    summary mode and forks recursively. Two guards: every row carries at
+    least one explicit flag and never --summary; and run_summary refuses to
+    start when the BENCH_IN_SUMMARY env marker set for children is present."""
+    for name, argv in bench._SUMMARY_ROWS:
+        assert argv, f"row {name} has no flags: its child would recurse"
+        assert not bench._build_parser().parse_args(argv).summary, name
+    monkeypatch.setenv("BENCH_IN_SUMMARY", "1")
+    with pytest.raises(RuntimeError, match="re-entered"):
+        bench.run_summary()
+
+
 def test_stale_cache_emitted_when_tunnel_stays_down(bench, monkeypatch,
                                                     tmp_path, capsys):
     cache_file = tmp_path / "bench_cache.json"
@@ -59,7 +105,8 @@ def test_stale_cache_emitted_when_tunnel_stays_down(bench, monkeypatch,
 
     monkeypatch.setattr(bench, "_check_backend_reachable", fail)
     monkeypatch.setattr(bench, "_bench_cache_key", lambda args: "default-mode")
-    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    # an explicit flag: the truly bare invocation now routes to summary mode
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--scan", "64"])
 
     # no cache yet: the outage propagates (rc=1, diagnosable)
     with pytest.raises(RuntimeError):
