@@ -47,6 +47,12 @@ class SpaceToDepthStem(nn.Module):
 
     The parameter stays ``kernel (7, 7, 3, features)`` — checkpoints, the
     torch .pth importer, and init statistics are unchanged vs nn.Conv.
+
+    A 12-channel input is accepted as ALREADY packed (channel order (sy, sx,
+    c) from `ops/sample.py sample_packed` — the crop emits the packed layout
+    straight out of its sampling indices, so the phase-split movement below
+    disappears entirely; this is what makes the s2d lowering viable on the
+    batched serving path where the split's data movement scaled with batch).
     """
     features: int
     dtype: Any = jnp.float32
@@ -61,19 +67,23 @@ class SpaceToDepthStem(nn.Module):
         w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 12, self.features)
 
         b, h, w, c = x.shape
-        hp, wp = -h % 2, -w % 2
-        if hp or wp:
-            x = jnp.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)))
-        h2, w2 = (h + hp) // 2, (w + wp) // 2
-        # Row-phase split instead of a 6-D reshape+transpose: the transpose
-        # relayouts 2x2 pixel blocks across the tiled layout (profiled at
-        # 110us per 255^2 frame — more than the conv it feeds); two
-        # row-strided slices + a minor-dim (W, C) -> (W/2, 2C) merge + channel
-        # concat express the same permutation with row-major-contiguous moves
-        # XLA fuses. Channel order is (sy, sx, c), matching w4 above.
-        x_even = x[:, 0::2].reshape(b, h2, w2, 2 * c)
-        x_odd = x[:, 1::2].reshape(b, h2, w2, 2 * c)
-        xs = jnp.concatenate([x_even, x_odd], axis=-1)
+        if c == 12:          # pre-packed crop (ops/sample.py sample_packed)
+            xs = x
+        else:
+            hp, wp = -h % 2, -w % 2
+            if hp or wp:
+                x = jnp.pad(x, ((0, 0), (0, hp), (0, wp), (0, 0)))
+            h2, w2 = (h + hp) // 2, (w + wp) // 2
+            # Row-phase split instead of a 6-D reshape+transpose: the
+            # transpose relayouts 2x2 pixel blocks across the tiled layout
+            # (profiled at 110us per 255^2 frame — more than the conv it
+            # feeds); two row-strided slices + a minor-dim (W, C) -> (W/2, 2C)
+            # merge + channel concat express the same permutation with
+            # row-major-contiguous moves XLA fuses. Channel order is
+            # (sy, sx, c), matching w4 above.
+            x_even = x[:, 0::2].reshape(b, h2, w2, 2 * c)
+            x_odd = x[:, 1::2].reshape(b, h2, w2, 2 * c)
+            xs = jnp.concatenate([x_even, x_odd], axis=-1)
         return jax.lax.conv_general_dilated(
             xs, w4, window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))

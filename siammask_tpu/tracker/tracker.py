@@ -78,7 +78,10 @@ class Tracker:
     video (one compile per resolution; XLA caches)."""
 
     def __init__(self, model, p: TrackerConfig, mask: bool = True,
-                 refine: bool = True, latency_lowerings: bool = True):
+                 refine: bool = True, latency_lowerings: bool = True,
+                 sample_impl: str = "gather", crop_packed: bool = False,
+                 multi_sample_impl: str = "gather",
+                 multi_crop_packed: bool = False):
         self.model = model
         # Latency-optimized clone for the batch-1 single-stream paths: the
         # Refine tail's thin convs switch to the VPU shift lowering (wins only
@@ -109,6 +112,20 @@ class Tracker:
             except TypeError:  # no Refine decoder (base / siamrpn)
                 self.model_single = model.clone(stem_s2d=True,
                                                 maxpool_phase=True)
+        # Sampling lowerings (ops/sample.py): 'gather' is the f32-exact
+        # reference path; 'mm' lowers crop + mask warp-back as MXU
+        # contractions (bf16 weights, f32 accumulation — a deployment-mode
+        # lowering). crop_packed emits the search crop pre-packed in the s2d
+        # stem's block-2 layout, skipping the stem's phase-split movement —
+        # requires the corresponding model to run stem_s2d. The single-stream
+        # and batched paths are knobbed separately (their winning lowerings
+        # differ, like the thin convs).
+        self._impl_single = sample_impl
+        self._packed_single = crop_packed and latency_lowerings
+        self._impl_multi = multi_sample_impl
+        self._packed_multi = multi_crop_packed
+        self.model_multi = (model.clone(stem_s2d=True)
+                            if multi_crop_packed else model)
         self.p = p
         self.mask_enable = mask
         self.refine_enable = refine
@@ -154,13 +171,16 @@ class Tracker:
 
     def _step_impl(self, variables, state: TrackState, frame):
         """Batch-1 step (latency clone of the model)."""
-        return self._step_body(self.model_single, variables, state, frame)
+        return self._step_body(self.model_single, variables, state, frame,
+                               self._impl_single, self._packed_single)
 
     def _step_impl_multi(self, variables, state: TrackState, frame):
         """Step as vmapped under a stream/object axis (MXU-default model)."""
-        return self._step_body(self.model, variables, state, frame)
+        return self._step_body(self.model_multi, variables, state, frame,
+                               self._impl_multi, self._packed_multi)
 
-    def _step_body(self, model, variables, state: TrackState, frame):
+    def _step_body(self, model, variables, state: TrackState, frame,
+                   impl: str = "gather", packed: bool = False):
         p = self.p
         # uint8 frames pass through to the crop unconverted (see init)
         k = p.anchor_num
@@ -179,7 +199,8 @@ class Tracker:
         # (470.9 vs 476.2 us device step) — the frame relayout it provokes is
         # cheaper than the wider rows-first intermediate
         x_crop = subwindow_crop(frame, target_pos, s_x_full, p.instance_size,
-                                state.avg_chans)[None]
+                                state.avg_chans, impl=impl,
+                                packed=packed)[None]
 
         if self.mask_enable:
             out = model.apply(variables, state.zf, x_crop, method="track_mask")
@@ -254,7 +275,8 @@ class Tracker:
             sub_w = sc * p.exemplar_size
             s2 = p.out_size / sub_w
             back_box = jnp.stack([-sub_x * s2, -sub_y * s2, im_w * s2, im_h * s2])
-            mask_in_frame = warp_back_mask(mask_cell, back_box, (im_h, im_w))
+            mask_in_frame = warp_back_mask(mask_cell, back_box, (im_h, im_w),
+                                           impl=impl)
 
         # clamp into frame (test.py:305-308)
         new_pos = jnp.clip(new_pos, jnp.zeros(2),

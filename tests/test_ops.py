@@ -186,6 +186,90 @@ def test_subwindow_crop_axis_order_and_uint8_commute(pos, crop_sz, model_sz):
     np.testing.assert_array_equal(u8r, rows)
 
 
+@pytest.mark.parametrize("pos,crop_sz,model_sz", [
+    ((100.0, 120.0), 80, 127),      # fully inside
+    ((10.0, 10.0), 90, 127),        # pads top-left (border taps exercised)
+    ((310.0, 230.0), 200, 255),     # pads bottom-right
+    ((55.5, 77.25), 93, 127),       # fractional center
+])
+def test_subwindow_crop_mm_matches_gather(pos, crop_sz, model_sz):
+    """The MXU-contraction sampler (impl='mm'): same bilinear weights as the
+    gather path, lowered as two weight-matrix matmuls (bf16 inputs, f32
+    accumulation). uint8 frame values are exact in bf16; only the fractional
+    weights round (8-bit mantissa), bounding the error at ~2*255*2^-9 ≈ 1
+    intensity unit — below the reference's own uint8 crop quantization
+    (cv2.resize emits uint8, tools/test.py:98-108)."""
+    im8 = RNG.randint(0, 256, size=(240, 320, 3)).astype(np.uint8)
+    avg = im8.astype(np.float32).mean(axis=(0, 1))
+    args = (jnp.asarray(pos, dtype=jnp.float32), jnp.asarray(float(crop_sz)),
+            model_sz, jnp.asarray(avg))
+    ref = np.asarray(subwindow_crop(jnp.asarray(im8), *args))
+    mm = np.asarray(subwindow_crop(jnp.asarray(im8), *args, impl="mm"))
+    assert mm.dtype == np.float32
+    np.testing.assert_allclose(mm, ref, atol=1.5)
+    assert np.mean(np.abs(mm - ref)) < 0.3
+
+
+def test_subwindow_crop_mm_integer_aligned_is_exact():
+    """crop_sz == model_sz degenerates to an integer-aligned crop: every
+    interpolation weight is exactly 0 or 1 (exact in bf16), uint8 pixels are
+    exact in bf16, and the dots accumulate in f32 — bit-identical to the
+    gather path, including the mean-pad border."""
+    im8 = RNG.randint(0, 256, size=(240, 320, 3)).astype(np.uint8)
+    avg = im8.astype(np.float32).mean(axis=(0, 1))
+    args = (jnp.asarray([20.0, 230.0], dtype=jnp.float32),  # pads two sides
+            jnp.asarray(127.0), 127, jnp.asarray(avg))
+    ref = np.asarray(subwindow_crop(jnp.asarray(im8), *args))
+    mm = np.asarray(subwindow_crop(jnp.asarray(im8), *args, impl="mm"))
+    np.testing.assert_array_equal(mm, ref)
+
+
+def _s2d_pack_reference(crop):
+    """Block-2 space-to-depth in the stem's (sy, sx, c) channel order, zero
+    pad to even size (resnet.SpaceToDepthStem)."""
+    h, w, c = crop.shape
+    crop = np.pad(crop, ((0, -h % 2), (0, -w % 2), (0, 0)))
+    h2, w2 = crop.shape[0] // 2, crop.shape[1] // 2
+    ph = [crop[sy::2, sx::2] for sy in (0, 1) for sx in (0, 1)]
+    return np.concatenate(ph, axis=-1)
+
+
+@pytest.mark.parametrize("model_sz", [127, 255])
+def test_subwindow_crop_packed_matches_s2d_of_unpacked(model_sz):
+    """packed=True must emit exactly the s2d packing of the unpacked crop in
+    the phase positions the stem conv reads. The odd-phase pad row/col is
+    DON'T-CARE by construction (the zero-extended 8x8 stem kernel multiplies
+    it only by zero taps — resnet.SpaceToDepthStem), so the comparison masks
+    it out rather than pinning the fill value."""
+    im8 = RNG.randint(0, 256, size=(240, 320, 3)).astype(np.uint8)
+    avg = im8.astype(np.float32).mean(axis=(0, 1))
+    args = (jnp.asarray([30.0, 100.0], dtype=jnp.float32),
+            jnp.asarray(173.0), model_sz, jnp.asarray(avg))
+    unpacked = np.asarray(subwindow_crop(jnp.asarray(im8), *args))
+    ref = _s2d_pack_reference(unpacked)
+    packed = np.asarray(subwindow_crop(jnp.asarray(im8), *args, packed=True))
+    assert packed.shape == ref.shape == ((model_sz + 1) // 2,) * 2 + (12,)
+    hv = model_sz // 2   # valid (non-pad) extent when model_sz is odd
+    np.testing.assert_array_equal(packed[:hv, :hv], ref[:hv, :hv])
+    # even phases (sy=0, sx=0 -> channels 0:3) have no pad anywhere
+    np.testing.assert_array_equal(packed[..., 0:3], ref[..., 0:3])
+    # mm impl packs the same way, to mm tolerance
+    packed_mm = np.asarray(subwindow_crop(jnp.asarray(im8), *args,
+                                          packed=True, impl="mm"))
+    np.testing.assert_allclose(packed_mm[:hv, :hv], ref[:hv, :hv], atol=1.5)
+
+
+def test_warp_back_mm_matches_gather():
+    mask = RNG.uniform(-6, 6, size=(127, 127)).astype(np.float32)
+    back_box = jnp.asarray([-50.3, -20.7, 288.0, 216.0], dtype=jnp.float32)
+    ref = np.asarray(warp_back_mask(jnp.asarray(mask), back_box, (240, 320)))
+    mm = np.asarray(warp_back_mask(jnp.asarray(mask), back_box, (240, 320),
+                                   impl="mm"))
+    # bf16 weight/value rounding on O(1)-magnitude logits
+    np.testing.assert_allclose(mm, ref, atol=0.08)
+    assert np.mean(np.abs(mm - ref)) < 0.01
+
+
 def test_warp_back_matches_cv2():
     mask = RNG.uniform(-1, 1, size=(127, 127)).astype(np.float32)
     im_w, im_h = 320, 240

@@ -134,3 +134,76 @@ def test_s2d_stem_is_param_compatible():
     vc = ref.init(jax.random.PRNGKey(0), x)
     assert (v["params"]["conv1"]["kernel"].shape
             == vc["params"]["kernel"].shape)
+
+
+def test_s2d_stem_prepacked_input_matches_unpacked():
+    """A 12-channel input is consumed as already s2d-packed (the crop emits
+    the packed layout directly — ops/sample.py sample_packed): identical
+    taps/weights mean the packed path is BIT-exact vs packing inside the
+    stem, odd sizes included (the pad row/col only meets zero kernel taps)."""
+    from siammask_tpu.ops.sample import sample_packed, subwindow_crop
+
+    rng = np.random.RandomState(2)
+    frame = jnp.asarray(rng.randint(0, 256, (240, 320, 3)), jnp.uint8)
+    avg = jnp.mean(frame, axis=(0, 1), dtype=jnp.float32)
+    args = (jnp.asarray([160.0, 120.0], jnp.float32), jnp.asarray(187.0))
+
+    mod = SpaceToDepthStem(16)
+    some_x = jnp.zeros((1, 255, 255, 3), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(3), some_x)
+
+    for model_sz in (255, 127):
+        crop = subwindow_crop(frame, args[0], args[1], model_sz, avg)
+        packed = subwindow_crop(frame, args[0], args[1], model_sz, avg,
+                                packed=True)
+        out_unpacked = mod.apply(variables, crop[None])
+        out_packed = mod.apply(variables, packed[None])
+        np.testing.assert_array_equal(np.asarray(out_packed),
+                                      np.asarray(out_unpacked))
+
+
+def test_tracker_packed_mm_step_close_to_baseline():
+    """One tracker step with the deployment sampling lowerings (packed s2d
+    crop + mm sampler) must agree with the baseline gather step: same best
+    cell, positions within a pixel, scores within bf16-rounding effects.
+    (Closed-loop metric deltas of deployment lowerings are measured
+    separately — PARITY_METRICS.md bf16 section.)"""
+    from siammask_tpu.config import TrackerConfig
+    from siammask_tpu.models.siammask import SiamMaskSharp
+    from siammask_tpu.tracker.tracker import Tracker
+
+    hp = {"instance_size": 255, "out_size": 127, "base_size": 8,
+          "seg_thr": 0.3, "penalty_k": 0.04, "window_influence": 0.4,
+          "lr": 1.0}
+    model = SiamMaskSharp(width=8)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 127, 127, 3), jnp.float32),
+                           jnp.zeros((1, 255, 255, 3), jnp.float32))
+    rng = np.random.RandomState(4)
+    frame = jnp.asarray(rng.randint(0, 256, (120, 160, 3)), jnp.uint8)
+    pos, sz = np.array([80.0, 60.0]), np.array([40.0, 50.0])
+
+    p = TrackerConfig().update(hp)
+    base = Tracker(model, p, mask=True, refine=True)
+    fast = Tracker(model, p, mask=True, refine=True,
+                   sample_impl="mm", crop_packed=True,
+                   multi_sample_impl="mm", multi_crop_packed=True)
+
+    st0 = base.init(variables, frame, pos, sz)
+    _, out_b = base.step(variables, st0, frame)
+    _, out_f = fast.step(variables, st0, frame)
+    assert int(out_b.best_id) == int(out_f.best_id)
+    np.testing.assert_allclose(np.asarray(out_f.target_pos),
+                               np.asarray(out_b.target_pos), atol=1.0)
+    np.testing.assert_allclose(float(out_f.score), float(out_b.score),
+                               atol=0.02)
+    np.testing.assert_allclose(np.asarray(out_f.mask_in_frame),
+                               np.asarray(out_b.mask_in_frame), atol=0.15)
+
+    # batched path with the multi knobs: same contract
+    stb = base.init_batched(variables, frame, pos[None], sz[None])
+    _, ob = base.step_batched(variables, stb, frame)
+    stf = fast.init_batched(variables, frame, pos[None], sz[None])
+    _, of = fast.step_batched(variables, stf, frame)
+    np.testing.assert_allclose(np.asarray(of.target_pos),
+                               np.asarray(ob.target_pos), atol=1.0)

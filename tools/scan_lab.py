@@ -1,25 +1,35 @@
 """Tracker-step layout lab: measure scan-step variants on the real chip.
 
-The round-3 step trace (471 us) shows ~80 us/step of pure layout copies; the
-two largest are (a) the per-frame relayout of the u8 frame sliced from the
-scan's stacked video input (9.4 us + a 4.7 us full-frame convert behind it)
-and (b) the relayout feeding the s2d-packed stem conv (13.6 us). Neither is
-addressable from op choice alone — they are XLA layout-assignment decisions —
-so this lab pins layouts explicitly (`jax.experimental.layout`) and measures:
+The round-3 step trace (471 us) showed ~80 us/step of pure layout copies; the
+largest are (a) the per-frame relayout of the u8 frame sliced from the scan's
+stacked video input (9.4 us + a 4.7 us full-frame convert behind it) and
+(b) the relayout feeding the s2d-packed stem conv (13.6 us). Round-4 probes
+(layout pinning inside jit, buffer donation) showed they are not addressable
+from XLA layout knobs. Round 5 attacks them from op choice after all, with
+two sampling lowerings (ops/sample.py):
 
-  baseline     the shipping `Tracker.track_video` scan
-  vid:<perm>   same program with the stacked video constrained to the given
-               major->minor layout inside the jit (one up-front relayout
-               outside the loop instead of one per frame, if XLA obliges)
-  donate       retest buffer donation of the carried state (the axon relay
-               rejected aliased buffers in round 2 - INVALID_ARGUMENT on the
-               first donated step; if the restriction lifted, donation saves
-               the state round-trip copies)
+  mm       crop + mask warp-back as MXU weight-matrix contractions instead
+           of gathers (bf16 weights, f32 accumulation)
+  packed   the search crop emits the s2d stem's block-2 packed layout
+           straight from its sampling indices (no phase-split movement)
+
+Variants (comma list, each measured as its own compiled program — cold
+remote compiles take minutes; budget accordingly):
+
+  baseline           the shipping `Tracker.track_video` scan
+  mm | packed | mmpacked
+                     single-stream scan with the lowering(s) above
+  s16:baseline | s16:mm | s16:packed | s16:mmpacked
+                     16-stream batched serving scan (track_video_multi) —
+                     the 45.5%-MFU plateau under attack (README serving
+                     section); reports PER-STREAM us (aggregate = /16)
+  vid:<perm>         baseline with the stacked video constrained to the
+                     given major->minor layout inside the jit
+  donate             probe whether the relay accepts donated buffers
 
 Timing follows the honest recipe from CLAUDE.md: compile+warmup barrier and
 final sync are host DATA FETCHES; reps chain state so the end fetch is
-transitive. One variant at a time; each is a fresh XLA program (cold remote
-compile, minutes) — budget accordingly: `--variants baseline,vid:0231`.
+transitive. One variant at a time.
 """
 from __future__ import annotations
 
@@ -36,7 +46,7 @@ import numpy as np
 from jax.experimental.layout import Layout
 
 
-def build_tracker(fp32: bool = False):
+def build_tracker(fp32: bool = False, **knobs):
     from siammask_tpu.config import TrackerConfig
     from siammask_tpu.models.siammask import SiamMaskSharp
     from siammask_tpu.tracker.tracker import Tracker
@@ -50,7 +60,7 @@ def build_tracker(fp32: bool = False):
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 127, 127, 3), jnp.float32),
                            jnp.zeros((1, 255, 255, 3), jnp.float32))
-    return Tracker(model, p, mask=True, refine=True), variables
+    return Tracker(model, p, mask=True, refine=True, **knobs), variables
 
 
 def scan_variant(tracker, layout_perm: tuple | None):
@@ -100,36 +110,57 @@ def probe_donation() -> str:
         return f"donation rejected: {type(e).__name__}: {str(e)[:120]}"
 
 
+_KNOBS = {
+    "baseline": {},
+    "mm": dict(sample_impl="mm", multi_sample_impl="mm"),
+    "packed": dict(crop_packed=True, multi_crop_packed=True),
+    "mmpacked": dict(sample_impl="mm", crop_packed=True,
+                     multi_sample_impl="mm", multi_crop_packed=True),
+}
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--variants", default="donate,baseline,vid:0231",
-                    help="comma list: baseline | donate | vid:<majorToMinor "
-                         "digits for the (T,H,W,C) video, e.g. vid:0231>")
+    ap.add_argument("--variants", default="baseline,mm,packed,mmpacked",
+                    help="comma list, see module docstring")
     ap.add_argument("--scan", type=int, default=64)
     ap.add_argument("--iters", type=int, default=1024)
     ap.add_argument("--fp32", action="store_true")
     args = ap.parse_args()
 
-    tracker = variables = state = frames = None
+    rng = np.random.RandomState(0)
+    frame = jnp.asarray(rng.uniform(0, 255, (480, 854, 3)), jnp.uint8)
+    frames = jnp.broadcast_to(frame, (args.scan,) + frame.shape)
+
     for v in args.variants.split(","):
         v = v.strip()
         if v == "donate":
             print(f"[lab] {probe_donation()}", flush=True)
             continue
-        if tracker is None:
+        streams = 1
+        name = v
+        if v.startswith("s16:"):
+            streams, name = 16, v[4:]
+        if name.startswith("vid:"):
             tracker, variables = build_tracker(args.fp32)
-            rng = np.random.RandomState(0)
-            frame = jnp.asarray(rng.uniform(0, 255, (480, 854, 3)), jnp.uint8)
+            perm = tuple(int(c) for c in name.split(":")[1])
+            run = scan_variant(tracker, perm)
+        else:
+            tracker, variables = build_tracker(args.fp32, **_KNOBS[name])
+            run = (tracker.track_video if streams == 1
+                   else tracker.track_video_multi)
+        if streams == 1:
             state = tracker.init(variables, frame,
                                  np.array([427.0, 240.0]),
                                  np.array([120.0, 160.0]))
-            frames = jnp.broadcast_to(frame, (args.scan,) + frame.shape)
-        perm = None if v == "baseline" else tuple(int(c) for c in
-                                                  v.split(":")[1])
-        run = (tracker.track_video if v == "baseline"
-               else scan_variant(tracker, perm))
-        us = time_variant(run, variables, state, frames, args.iters)
-        print(f"[lab] {v:<12s} {us:8.1f} us/frame", flush=True)
+        else:
+            pos = rng.uniform(100, 400, (streams, 2)).astype(np.float32)
+            sz = rng.uniform(60, 200, (streams, 2)).astype(np.float32)
+            state = tracker.init_batched(variables, frame, pos, sz)
+        us = time_variant(run, variables, state, frames,
+                          args.iters) / streams
+        agg = f" ({1e6 / us:7.1f} aggregate fps)" if streams > 1 else ""
+        print(f"[lab] {v:<16s} {us:8.1f} us/frame{agg}", flush=True)
 
 
 if __name__ == "__main__":
