@@ -87,6 +87,46 @@ def test_overfit_pipeline_end_to_end(tmp_path):
             overfit.N_FRAMES - gt["held_out_start"] - 1
 
 
+@pytest.mark.skipif(not exists(TENNIS), reason="tennis clip not present")
+def test_overfit_siamrpn_pipeline_end_to_end(tmp_path):
+    """The box-only trainer variant (--task siamrpn): prepare -> single-stage
+    train CLI -> evaluate; losses must drop and the box tracker must run on
+    the held-out tail (mask branch absent end to end)."""
+    overfit = _overfit()
+    work = str(tmp_path / "work")
+    overfit.prepare(work, TENNIS, log=lambda *_: None)
+    p = join(work, "config_rpn.json")
+    cfg = json.load(open(p))
+    assert cfg["network"]["arch"] == "SiamRPN"
+    assert cfg["loss"]["weight"][2] == 0.0
+    cfg["train_datasets"]["num"] = 16
+    cfg["train_datasets"]["datasets"]["ytb_vos"]["num_use"] = 16
+    json.dump(cfg, open(p, "w"))
+
+    ck = overfit.run_training_rpn(work, epochs=2, batch=8, platform="cpu",
+                                  num_devices=None, width=8,
+                                  log=lambda *_: None)
+    assert exists(ck)
+
+    subprocess.run([sys.executable, str(REPO / "tools" / "overfit.py"),
+                    "--evaluate", "--task", "siamrpn", "--epochs-rpn", "2",
+                    "--work-dir", work, "--width", "8", "--platform", "cpu"],
+                   check=True, env=dict(os.environ))
+    report = json.load(open(join(work, "report_rpn.json")))
+    assert report["task"] == "siamrpn"
+    fit = report["train_fit"]
+    for split in ("init", "trained"):
+        assert "mask_loss" not in fit[split]          # box-only loss path
+        assert all(v == v for v in fit[split].values())
+    assert fit["trained"]["total_loss"] < fit["init"]["total_loss"]
+    held = report["held_out_tracking"]
+    gt = json.load(open(join(work, "gt.json")))
+    for split in ("init", "trained"):
+        assert 0.0 <= held[split]["mean_iou"] <= 1.0
+        assert len(held[split]["per_frame_iou"]) == \
+            overfit.N_FRAMES - gt["held_out_start"] - 1
+
+
 def test_keyframe_interpolation():
     overfit = _overfit()
     boxes = overfit.interpolate_boxes()

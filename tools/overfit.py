@@ -154,6 +154,12 @@ def prepare(work_dir: str, frames_dir: str = TENNIS_DIR, log=print):
         "anchors": {"stride": 8, "ratios": [0.33, 0.5, 1, 2, 3],
                     "scales": [8], "round_dight": 0},
     }
+    # siamrpn: box-only variant (reference tools/train_siamrpn.py — cls+loc
+    # losses, no mask branch); same pairs/augmentation, mask tensors ignored
+    rpn = json.loads(json.dumps(stage1))
+    rpn["network"]["arch"] = "SiamRPN"
+    rpn["loss"]["weight"] = [1.0, 1.2, 0.0]
+
     # stage 2: sharp refine at 143 search (reference siammask_sharp config)
     stage2 = json.loads(json.dumps(stage1))
     stage2["network"]["arch"] = "Custom"
@@ -165,7 +171,8 @@ def prepare(work_dir: str, frames_dir: str = TENNIS_DIR, log=print):
     td.update(search_size=143, base_size=0, size=3)
     td["augmentation"]["search"] = {"shift": 8, "scale": 0.18, "blur": 0.0}
     for name, cfg in (("config_stage1.json", stage1),
-                      ("config_stage2.json", stage2)):
+                      ("config_stage2.json", stage2),
+                      ("config_rpn.json", rpn)):
         with open(join(work_dir, name), "w") as f:
             json.dump(cfg, f, indent=2)
     log(f"prepared {HELD_OUT_START} train frames -> {crop_dir}")
@@ -204,6 +211,29 @@ def run_training(work_dir: str, epochs1: int, epochs2: int, batch: int,
             join(s2_dir, f"checkpoint_e{epochs2}.msgpack"))
 
 
+def run_training_rpn(work_dir: str, epochs: int, batch: int,
+                     platform: str | None, num_devices: int | None,
+                     width: int | None, log=print):
+    """Drive the real train CLI for the box-only SiamRPN task (the reference
+    tools/train_siamrpn.py flow: single stage, frozen->unfrozen at 50%)."""
+    py = sys.executable
+    tools = dirname(realpath(__file__))
+    common = ["--workers", "2", "--log-interval", "8", "--batch", str(batch)]
+    if platform:
+        common += ["--platform", platform]
+    if num_devices:
+        common += ["--num-devices", str(num_devices)]
+    if width:
+        common += ["--width", str(width)]
+    rpn_dir = join(work_dir, "snapshot_rpn")
+    cmd = [py, join(tools, "train.py"), "--config",
+           join(work_dir, "config_rpn.json"), "--task", "siamrpn",
+           "--epochs", str(epochs), "--save-dir", rpn_dir] + common
+    log("siamrpn: " + " ".join(cmd))
+    subprocess.run(cmd, check=True)
+    return join(rpn_dir, f"checkpoint_e{epochs}.msgpack")
+
+
 def _iou(a, b) -> float:
     ix0, iy0 = max(a[0], b[0]), max(a[1], b[1])
     ix1, iy1 = min(a[2], b[2]), min(a[3], b[3])
@@ -215,14 +245,15 @@ def _iou(a, b) -> float:
 
 
 def evaluate_tracking(variables, model, hp, boxes, frames_dir=TENNIS_DIR,
-                      start=HELD_OUT_START, end=N_FRAMES) -> dict:
+                      start=HELD_OUT_START, end=N_FRAMES,
+                      mask: bool = True, refine: bool = True) -> dict:
     """Track the held-out tail from the pseudo-gt init box; score mean IoU of
     the predicted axis-aligned box vs pseudo-gt per frame."""
     from siammask_tpu.config import TrackerConfig
     from siammask_tpu.tracker.runtime import TrackerRuntime
 
     p = TrackerConfig().update(hp)
-    runtime = TrackerRuntime(model, variables, p, mask=True, refine=True)
+    runtime = TrackerRuntime(model, variables, p, mask=mask, refine=refine)
     b0 = boxes[start]
     pos = np.array([(b0[0] + b0[2]) / 2, (b0[1] + b0[3]) / 2])
     sz = np.array([b0[2] - b0[0], b0[3] - b0[1]])
@@ -243,10 +274,14 @@ def evaluate_tracking(variables, model, hp, boxes, frames_dir=TENNIS_DIR,
             "per_frame_iou": [round(v, 4) for v in ious.tolist()]}
 
 
-def evaluate_train_fit(variables, model, work_dir: str, batch: int = 8) -> dict:
+def evaluate_train_fit(variables, model, work_dir: str, batch: int = 8,
+                       config_name: str = "config_stage2.json",
+                       task: str = "sharp_refine",
+                       loss_weight=(0.0, 0.0, 36.0)) -> dict:
     """Training-set fit metrics: run the REAL train step at lr=0 on a batch of
     prepared pairs — the exact loss path the trainer optimizes (losses + mask
-    IoU@.5/.7) with no parameter movement."""
+    IoU@.5/.7 for mask tasks, cls/loc for siamrpn) with no parameter
+    movement."""
     import jax
     import jax.numpy as jnp
 
@@ -255,14 +290,15 @@ def evaluate_train_fit(variables, model, work_dir: str, batch: int = 8) -> dict:
     from siammask_tpu.train.trainer import (OptimizerConfig, TrainSettings,
                                             build_optimizer, make_train_step)
 
-    cfg = Config.load(join(work_dir, "config_stage2.json"))
+    cfg = Config.load(join(work_dir, config_name))
     dataset = PairDataset(cfg.train_datasets, cfg.anchors, num_epoch=1)
     loader = DataLoader(dataset, batch, num_workers=0)
     batch_np = next(iter(loader))
-    settings = TrainSettings(task="sharp_refine", loss_weight=(0, 0, 36.0),
-                             mask_pad=0)
+    settings = TrainSettings(task=task, loss_weight=loss_weight,
+                             mask_pad=0 if task == "sharp_refine" else 32)
     tx, _ = build_optimizer(variables["params"], OptimizerConfig(),
-                            unfreeze_backbone=False, train_refine_only=True)
+                            unfreeze_backbone=False,
+                            train_refine_only=task == "sharp_refine")
     step = make_train_step(model, settings, tx, unfreeze_backbone=False)
     opt_state = tx.init(variables["params"])
     _, _, metrics = step(variables, opt_state,
@@ -285,6 +321,13 @@ def main():
     # too early and never escaped). 24 epochs = 1536 steps keeps lr >= 0.005
     # for ~1100 of them.
     parser.add_argument("--epochs2", type=int, default=24)
+    parser.add_argument("--task", default="mask", choices=["mask", "siamrpn"],
+                        help="'mask': the two-stage SiamMask recipe (default);"
+                             " 'siamrpn': the box-only trainer "
+                             "(tools/train_siamrpn.py analogue) — single "
+                             "stage across the 50%% unfreeze boundary, "
+                             "scored on held-out box IoU only")
+    parser.add_argument("--epochs-rpn", type=int, default=16)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--width", type=int, default=None,
                         help="reduced backbone width (CPU smoke runs)")
@@ -297,8 +340,13 @@ def main():
     if args.prepare:
         prepare(args.work_dir, args.frames_dir)
     if args.train:
-        run_training(args.work_dir, args.epochs1, args.epochs2, args.batch,
-                     args.platform, args.num_devices, args.width)
+        if args.task == "siamrpn":
+            run_training_rpn(args.work_dir, args.epochs_rpn, args.batch,
+                             args.platform, args.num_devices, args.width)
+        else:
+            run_training(args.work_dir, args.epochs1, args.epochs2,
+                         args.batch, args.platform, args.num_devices,
+                         args.width)
     if args.evaluate:
         if args.platform:
             from siammask_tpu.parallel.mesh import force_platform
@@ -306,21 +354,28 @@ def main():
         import jax
         import jax.numpy as jnp
 
-        from siammask_tpu.models.siammask import SiamMaskSharp
+        from siammask_tpu.models.siammask import SiamMaskSharp, SiamRPN
         from siammask_tpu.train.checkpoint import (load_checkpoint,
                                                    merge_variables)
 
         kw = {"width": args.width} if args.width else {}
-        model = SiamMaskSharp(xcorr_impl="shift", **kw)
-        search = 143
+        rpn_task = args.task == "siamrpn"
+        if rpn_task:
+            model = SiamRPN(xcorr_impl="shift", **kw)
+            search = 255
+            ckpt = join(args.work_dir, "snapshot_rpn",
+                        f"checkpoint_e{args.epochs_rpn}.msgpack")
+        else:
+            model = SiamMaskSharp(xcorr_impl="shift", **kw)
+            search = 143
+            ckpt = join(args.work_dir, "snapshot_stage2",
+                        f"checkpoint_e{args.epochs2}.msgpack")
         init_vars = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 127, 127, 3)),
                                jnp.zeros((1, search, search, 3)))
-        ckpt = join(args.work_dir, "snapshot_stage2",
-                    f"checkpoint_e{args.epochs2}.msgpack")
         trained_vars, missing, _ = merge_variables(
             init_vars, load_checkpoint(ckpt)["variables"])
-        assert not missing, f"stage-2 checkpoint incomplete: {missing[:3]}"
+        assert not missing, f"checkpoint {ckpt} incomplete: {missing[:3]}"
 
         with open(join(args.work_dir, "gt.json")) as f:
             gt = json.load(f)
@@ -329,20 +384,27 @@ def main():
               "seg_thr": 0.35, "penalty_k": 0.04, "window_influence": 0.4,
               "lr": 1.0}
 
-        report = {"held_out_start": gt["held_out_start"]}
+        fit_kw = dict(config_name="config_rpn.json", task="siamrpn",
+                      loss_weight=(1.0, 1.2, 0.0)) if rpn_task else {}
+        track_kw = dict(mask=False, refine=False) if rpn_task else {}
+        report = {"held_out_start": gt["held_out_start"], "task": args.task}
         report["train_fit"] = {
-            "init": evaluate_train_fit(init_vars, model, args.work_dir),
-            "trained": evaluate_train_fit(trained_vars, model, args.work_dir),
+            "init": evaluate_train_fit(init_vars, model, args.work_dir,
+                                       **fit_kw),
+            "trained": evaluate_train_fit(trained_vars, model, args.work_dir,
+                                          **fit_kw),
         }
         report["held_out_tracking"] = {
             "init": evaluate_tracking(init_vars, model, hp, boxes,
                                       args.frames_dir,
-                                      start=gt["held_out_start"]),
+                                      start=gt["held_out_start"], **track_kw),
             "trained": evaluate_tracking(trained_vars, model, hp, boxes,
                                          args.frames_dir,
-                                         start=gt["held_out_start"]),
+                                         start=gt["held_out_start"],
+                                         **track_kw),
         }
-        out = args.report or join(args.work_dir, "report.json")
+        default_report = ("report_rpn.json" if rpn_task else "report.json")
+        out = args.report or join(args.work_dir, default_report)
         with open(out, "w") as f:
             json.dump(report, f, indent=2)
         print(json.dumps({k: v for k, v in report.items()
