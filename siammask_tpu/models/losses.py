@@ -161,8 +161,16 @@ def select_mask_logistic_loss(p_m: jax.Array, mask: jax.Array, weight: jax.Array
         # whole mask-head output (318 MB bf16 at batch 64 — profiled at 5 ms
         # forward + 4 ms of backward scatter/reduce per step, 18% of the
         # stage-1 step); on the K<=16*B gathered rows it is noise.
-        rows = p_m.reshape(b * s1 * s2, o_sz * o_sz)
-        pred_sel = jnp.take(rows, sel_idx, axis=0)
+        #
+        # Round 5: gather through THREE index axes instead of pre-flattening
+        # (b, s1, s2) — the flat reshape itself forced XLA to relayout the
+        # NHWC conv output from its native C-minor/N-second layout to
+        # row-major before the take, a 317 MB copy + its backward twin
+        # (trace: copy.219 1.1 ms + reshape.2033/2039 3.1 ms per b64 step,
+        # ~10% of the frozen phase). The 3-axis gather reads rows in place:
+        # same elements, no relayout (measured 47.0 -> 43.1 ms/step frozen,
+        # 1361.7 -> 1484.1 samples/s, 35.0 -> 38.1% MFU).
+        pred_sel = p_m[bi, cell // s2, cell % s2]
         pred_sel = pred_sel.reshape(-1, o_sz, o_sz, 1)
         pred_sel = upsample_bilinear_align_corners(pred_sel, (g_sz, g_sz))
         pred_sel = pred_sel.reshape(-1, g_sz * g_sz)
