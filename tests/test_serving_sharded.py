@@ -92,3 +92,31 @@ def test_per_frame_step_matches_scan(setup):
     np.testing.assert_allclose(np.asarray(st.target_pos),
                                np.asarray(st2.target_pos),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_serving_with_deployment_lowerings(setup):
+    """The serving lowerings (mm sampler + packed s2d crop on the batched
+    path) must behave identically under mesh sharding: sharded outputs ==
+    unsharded outputs of the SAME lowered tracker, and the hot loop stays
+    collective-free."""
+    _, variables, frames, pos, sz = setup
+    model = SiamMaskSharp(width=8)
+    fast = Tracker(model, TrackerConfig().update(HP), mask=True, refine=True,
+                   multi_sample_impl="mm", multi_crop_packed=True)
+    server = ShardedStreamServer(fast, data_parallel_mesh())
+
+    states = server.init_batched(variables, frames[0], pos, sz)
+    st_sh, outs_sh = server.track_video(variables, states, frames)
+
+    states_ref = fast.init_batched(variables, frames[0], pos, sz)
+    st_ref, outs_ref = fast.track_video_multi(variables, states_ref, frames)
+    np.testing.assert_allclose(np.asarray(outs_sh.target_pos),
+                               np.asarray(outs_ref.target_pos),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(outs_sh.score),
+                               np.asarray(outs_ref.score),
+                               rtol=1e-5, atol=1e-4)
+    hlo = server._scan.lower(variables, states, frames).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "reduce-scatter",
+                 "collective-permute"):
+        assert coll not in hlo, f"unexpected {coll} in lowered serving scan"
