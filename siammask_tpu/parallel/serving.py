@@ -11,7 +11,7 @@ per-stream `TrackState` and per-stream outputs shard on ``data``.
 The vmapped step is embarrassingly parallel over streams, so the partitioned
 hot loop contains NO collectives: ICI carries only the initial state scatter
 and the output fetch. Scaling is therefore linear in chips for batched
-serving (each chip runs the measured 46%-MFU 16-stream layout locally);
+serving (each chip runs the measured 52.8%-MFU 16-stream layout locally);
 validated for semantics on a virtual device mesh in
 tests/test_serving_sharded.py — outputs match the unsharded batched tracker
 exactly and the compiled scan contains no all-reduce/all-gather.

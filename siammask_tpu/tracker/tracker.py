@@ -79,9 +79,9 @@ class Tracker:
 
     def __init__(self, model, p: TrackerConfig, mask: bool = True,
                  refine: bool = True, latency_lowerings: bool = True,
-                 sample_impl: str = "gather", crop_packed: bool = False,
-                 multi_sample_impl: str = "gather",
-                 multi_crop_packed: bool = False):
+                 sample_impl: str = "auto", crop_packed: bool | None = None,
+                 multi_sample_impl: str = "auto",
+                 multi_crop_packed: bool | None = None):
         self.model = model
         # Latency-optimized clone for the batch-1 single-stream paths: the
         # Refine tail's thin convs switch to the VPU shift lowering (wins only
@@ -115,11 +115,27 @@ class Tracker:
         # Sampling lowerings (ops/sample.py): 'gather' is the f32-exact
         # reference path; 'mm' lowers crop + mask warp-back as MXU
         # contractions (bf16 weights, f32 accumulation — a deployment-mode
-        # lowering). crop_packed emits the search crop pre-packed in the s2d
-        # stem's block-2 layout, skipping the stem's phase-split movement —
-        # requires the corresponding model to run stem_s2d. The single-stream
-        # and batched paths are knobbed separately (their winning lowerings
-        # differ, like the thin convs).
+        # lowering, error ~1 uint8 intensity unit). crop_packed emits the
+        # search crop pre-packed in the s2d stem's block-2 layout, skipping
+        # the stem's phase-split movement — requires the corresponding model
+        # to run stem_s2d. The single-stream and batched paths are knobbed
+        # separately because their winners differ (chip, round 5):
+        #   batch-1 scan   468.2 us baseline | mm 431.0 | packed 471.0 |
+        #                  mm+packed 431.2   -> mm, packed off
+        #   16-stream      379.4 us/stream   | mm 338.9 | packed 600.4 |
+        #                  mm+packed 327.0   -> mm+packed (3058 aggregate fps)
+        # 'auto' enables the winners only in DEPLOYMENT mode — bf16 compute —
+        # so fp32 parity/eval paths keep the exact gather sampler, exactly
+        # like the thin-conv/s2d clones.
+        deploy = getattr(model, "dtype", None) == jnp.bfloat16
+        if sample_impl == "auto":
+            sample_impl = "mm" if deploy and latency_lowerings else "gather"
+        if multi_sample_impl == "auto":
+            multi_sample_impl = "mm" if deploy else "gather"
+        if crop_packed is None:
+            crop_packed = False          # neutral at batch 1 (431.2 vs 431.0)
+        if multi_crop_packed is None:
+            multi_crop_packed = deploy
         self._impl_single = sample_impl
         self._packed_single = crop_packed and latency_lowerings
         self._impl_multi = multi_sample_impl
