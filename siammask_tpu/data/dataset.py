@@ -24,6 +24,7 @@ import json
 import logging
 import math
 import random
+import threading
 from dataclasses import dataclass
 from os.path import join
 
@@ -104,12 +105,13 @@ class SubDataset:
                 out[video] = new_tracks
         return out
 
-    def shuffle(self) -> list[int]:
+    def shuffle(self, rng: random.Random | None = None) -> list[int]:
+        rng = rng or sample_random
         lists = list(range(self.start, self.start + self.num))
         pick: list[int] = []
         m = 0
         while m < self.num_use:
-            sample_random.shuffle(lists)
+            rng.shuffle(lists)
             pick += lists
             m += self.num
         self.pick = pick[: self.num_use]
@@ -263,10 +265,29 @@ class Sample:
 class PairDataset:
     """Multi-source pair dataset (reference ``DataSets`` :391-606)."""
 
-    def __init__(self, cfg: dict, anchor_cfg: AnchorConfig | dict, num_epoch: int = 1):
+    def __init__(self, cfg: dict, anchor_cfg: AnchorConfig | dict, num_epoch: int = 1,
+                 seed: int | None = None):
         if isinstance(anchor_cfg, dict):
             anchor_cfg = AnchorConfig.from_dict(anchor_cfg)
         self.anchors = Anchors(anchor_cfg)
+        # Deterministic per-ITEM seeding (reference parity note: torch's
+        # DataLoader derives deterministic worker seeds from a generator, so
+        # a seeded reference run replays exactly — train_siammask.py relies
+        # on that for debugging). Our loader draws through the module-global
+        # `random`/`np.random` streams, which diverge with thread/process
+        # interleaving; with `seed` set, __getitem__ re-seeds both globals
+        # per (seed, item) under a lock and restores them after, so the
+        # augmentation stream for item i is a pure function of (seed, i) —
+        # independent of worker count, mode, or scheduling (stronger than
+        # torch, whose stream moves when num_workers changes).
+        self.seed = seed
+        self._seed_lock = threading.Lock()
+        self._generation = 0  # bumped by shuffle() so epochs draw fresh streams
+        # with a seed, pick shuffling uses a PRIVATE stream so the instance is
+        # self-deterministic (the module-global sample_random is shared by
+        # every dataset in the process, so its consumption order leaks between
+        # instances); unseeded behavior is unchanged
+        self._shuffle_rng = random.Random(seed) if seed is not None else None
 
         self.template_size = cfg.get("template_size", 127)
         self.origin_size = cfg.get("origin_size", 127)
@@ -310,12 +331,14 @@ class PairDataset:
         self.shuffle()
 
     def shuffle(self):
+        self._generation += 1
+        rng = self._shuffle_rng or sample_random
         pick: list[int] = []
         while len(pick) < self.num:
             p = []
             for subset in self.all_data:
-                p += subset.shuffle()
-            sample_random.shuffle(p)
+                p += subset.shuffle(self._shuffle_rng)
+            rng.shuffle(p)
             pick += p
         self.pick = pick
 
@@ -350,6 +373,21 @@ class PairDataset:
         return center2corner(Center(imw // 2, imh // 2, w * scale_z, h * scale_z))
 
     def __getitem__(self, index) -> Sample:
+        if self.seed is None:
+            return self._get_item(index)
+        with self._seed_lock:
+            r_state = random.getstate()
+            np_state = np.random.get_state()
+            item = self.seed * 1000003 + self._generation * 7368787 + index
+            random.seed(item % (2 ** 31))
+            np.random.seed((item * 920419823 + 3) % (2 ** 31))
+            try:
+                return self._get_item(index)
+            finally:
+                random.setstate(r_state)
+                np.random.set_state(np_state)
+
+    def _get_item(self, index) -> Sample:
         index = self.pick[index]
         dataset, index = self._find_dataset(index)
 

@@ -277,3 +277,58 @@ def test_gen_json_coco(tmp_path):
     out = gen_json_coco(str(coco_dir), subsets=("val2017",))
     assert "val2017/000000000001" in out
     assert out["val2017/000000000001"]["00"]["000000"] == [10, 20, 39, 59]
+
+
+def test_pair_dataset_deterministic_seed(tmp_path):
+    """With `seed` set, item streams are a pure function of (seed, epoch,
+    index): independent instances agree sample-for-sample, a threaded loader
+    run equals a workers=0 run, epochs differ, and the global RNG state is
+    restored (no cross-contamination of unrelated draws)."""
+    import random as _random
+
+    from siammask_tpu.data.dataset import DataLoader
+
+    root, anno = _make_crop_dataset(tmp_path)
+    cfg = {
+        "datasets": {"coco": {"root": root, "anno": anno, "frame_range": 2}},
+        "template_size": 127, "search_size": 143, "base_size": 0, "size": 3,
+        "num": 8,
+        "augmentation": {
+            "template": {"shift": 4, "scale": 0.05},
+            "search": {"shift": 8, "scale": 0.18, "blur": 0.18},
+            "neg": 0.2, "gray": 0.25,
+        },
+    }
+    anchors = {"stride": 8, "ratios": [0.33, 0.5, 1, 2, 3], "scales": [8]}
+
+    a = PairDataset(cfg, anchors, seed=7)
+    b = PairDataset(cfg, anchors, seed=7)
+    for i in range(4):
+        np.testing.assert_array_equal(a[i].search, b[i].search)
+        np.testing.assert_array_equal(a[i].cls, b[i].cls)
+
+    # loader with thread workers replays the workers=0 stream exactly
+    c = PairDataset(cfg, anchors, seed=7)
+    batches0 = [bt for bt in DataLoader(a, 4, num_workers=0)]
+    batches2 = [bt for bt in DataLoader(c, 4, num_workers=2)]
+    for b0, b2 in zip(batches0, batches2):
+        np.testing.assert_array_equal(b0["search"], b2["search"])
+        np.testing.assert_array_equal(b0["label_cls"], b2["label_cls"])
+
+    # a different seed (and a new epoch generation) draw different streams
+    d = PairDataset(cfg, anchors, seed=8)
+    assert not np.array_equal(a[0].search, d[0].search)
+    gen0 = a[0].search.copy()
+    a.shuffle()
+    assert not np.array_equal(gen0, a[0].search)
+
+    # the seeded path restores the global RNG state it borrowed
+    _random.seed(4242)
+    np.random.seed(4242)
+    r_expect = _random.random()
+    n_expect = np.random.rand()
+    _random.seed(4242)
+    np.random.seed(4242)
+    _ = b[3]
+    assert _random.random() == r_expect
+    assert np.random.rand() == n_expect

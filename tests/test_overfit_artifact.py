@@ -19,8 +19,10 @@ from os.path import dirname, exists, join, realpath
 
 import pytest
 
-REPORT = join(dirname(dirname(realpath(__file__))),
-              "experiments", "overfit_tennis", "report.json")
+ARTIFACT_DIR = join(dirname(dirname(realpath(__file__))),
+                    "experiments", "overfit_tennis")
+REPORT = join(ARTIFACT_DIR, "report.json")
+REPORT_RPN = join(ARTIFACT_DIR, "report_rpn.json")
 
 
 @pytest.fixture(scope="module")
@@ -28,6 +30,15 @@ def report():
     if not exists(REPORT):
         pytest.skip("overfit artifact not produced yet (see tools/overfit.py)")
     with open(REPORT) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def report_rpn():
+    if not exists(REPORT_RPN):
+        pytest.skip("siamrpn overfit artifact not produced yet "
+                    "(tools/overfit.py --task siamrpn)")
+    with open(REPORT_RPN) as f:
         return json.load(f)
 
 
@@ -50,6 +61,29 @@ def test_held_out_tracking_improves(report):
     trained = report["held_out_tracking"]["trained"]
     # frames >= held_out_start were never trained on (tools/overfit.py)
     assert report["held_out_start"] == 56
+    assert trained["mean_iou"] > init["mean_iou"] + 0.2
+    assert trained["mean_iou"] > 0.5
+    assert trained["lost"] <= init["lost"]
+
+
+# --- SiamRPN (box-only) learning proof: the tools/train_siamrpn.py analogue
+# (reference models/siamrpn.py:56-65 — cls+loc losses only, no mask branch).
+# Single-stage schedule across the 50% unfreeze boundary, scored on held-out
+# box IoU with mask/refine disabled.
+
+def test_rpn_train_fit_losses_collapse(report_rpn):
+    assert report_rpn["task"] == "siamrpn"
+    init = report_rpn["train_fit"]["init"]
+    trained = report_rpn["train_fit"]["trained"]
+    assert trained["cls_loss"] < init["cls_loss"] / 5
+    assert trained["loc_loss"] < init["loc_loss"] / 2
+    assert trained["total_loss"] < init["total_loss"] / 4
+
+
+def test_rpn_held_out_tracking_improves(report_rpn):
+    init = report_rpn["held_out_tracking"]["init"]
+    trained = report_rpn["held_out_tracking"]["trained"]
+    assert report_rpn["held_out_start"] == 56
     assert trained["mean_iou"] > init["mean_iou"] + 0.2
     assert trained["mean_iou"] > 0.5
     assert trained["lost"] <= init["lost"]

@@ -165,7 +165,16 @@ def prepare(work_dir: str, frames_dir: str = TENNIS_DIR, log=print):
     stage2["network"]["arch"] = "Custom"
     stage2["hp"].update(out_size=127, seg_thr=0.35, penalty_k=0.04,
                         window_influence=0.4, lr=1.0)
-    stage2["lr"] = {"type": "log", "start_lr": 0.01, "end_lr": 0.0025}
+    # Warmup matters here: refine trains from fresh init against ~7% positive
+    # pixels per window — an all-background soft-margin floor of ~0.25 whose
+    # escape is sensitive to the first steps. A full-lr (0.01 x loss weight
+    # 36) first step was measured blasting the mean soft-margin to 1.37
+    # (logits ~-18, softplus saturated) and the run sat at the floor for all
+    # 24 epochs with mask IoU exactly 0; the 2-epoch ramp removes that
+    # overshoot mode. See RESULTS.md for the escape-dynamics history.
+    stage2["lr"] = {"type": "log", "start_lr": 0.01, "end_lr": 0.0025,
+                    "warmup": {"start_lr": 0.001, "end_lr": 0.01,
+                               "type": "step", "step": 1, "epoch": 2}}
     stage2["loss"]["weight"] = [0, 0, 36]
     td = stage2["train_datasets"]
     td.update(search_size=143, base_size=0, size=3)
@@ -180,11 +189,13 @@ def prepare(work_dir: str, frames_dir: str = TENNIS_DIR, log=print):
 
 def run_training(work_dir: str, epochs1: int, epochs2: int, batch: int,
                  platform: str | None, num_devices: int | None,
-                 width: int | None, log=print):
+                 width: int | None, seed: int | None = 0, log=print):
     """Drive the real train CLI for both stages (the reference run.sh flow)."""
     py = sys.executable
     tools = dirname(realpath(__file__))
     common = ["--workers", "2", "--log-interval", "8", "--batch", str(batch)]
+    if seed is not None:
+        common += ["--seed", str(seed)]
     if platform:
         common += ["--platform", platform]
     if num_devices:
@@ -213,12 +224,14 @@ def run_training(work_dir: str, epochs1: int, epochs2: int, batch: int,
 
 def run_training_rpn(work_dir: str, epochs: int, batch: int,
                      platform: str | None, num_devices: int | None,
-                     width: int | None, log=print):
+                     width: int | None, seed: int | None = 0, log=print):
     """Drive the real train CLI for the box-only SiamRPN task (the reference
     tools/train_siamrpn.py flow: single stage, frozen->unfrozen at 50%)."""
     py = sys.executable
     tools = dirname(realpath(__file__))
     common = ["--workers", "2", "--log-interval", "8", "--batch", str(batch)]
+    if seed is not None:
+        common += ["--seed", str(seed)]
     if platform:
         common += ["--platform", platform]
     if num_devices:
@@ -335,18 +348,25 @@ def main():
     parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument("--report", default=None,
                         help="report path (default <work-dir>/report.json)")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="deterministic data-pipeline seed passed to the "
+                             "train CLI (the refine floor escape is "
+                             "trajectory-sensitive; a pinned seed makes the "
+                             "artifact reproducible); -1 disables")
     args = parser.parse_args()
+    seed = None if args.seed == -1 else args.seed
 
     if args.prepare:
         prepare(args.work_dir, args.frames_dir)
     if args.train:
         if args.task == "siamrpn":
             run_training_rpn(args.work_dir, args.epochs_rpn, args.batch,
-                             args.platform, args.num_devices, args.width)
+                             args.platform, args.num_devices, args.width,
+                             seed=seed)
         else:
             run_training(args.work_dir, args.epochs1, args.epochs2,
                          args.batch, args.platform, args.num_devices,
-                         args.width)
+                         args.width, seed=seed)
     if args.evaluate:
         if args.platform:
             from siammask_tpu.parallel.mesh import force_platform

@@ -50,6 +50,14 @@ def main():
                         help="checkpoint to warm-start from (.pth or .msgpack)")
     parser.add_argument("--resume", default=None)
     parser.add_argument("--log-interval", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=None,
+                        help="deterministic data-pipeline seed: each item's "
+                             "sampling/augmentation stream becomes a pure "
+                             "function of (seed, epoch, index), independent "
+                             "of loader worker count/mode (reference parity: "
+                             "torch's DataLoader seeds workers from its "
+                             "generator; ours is per-item, so it also holds "
+                             "across num_workers changes)")
     parser.add_argument("--num-devices", type=int, default=None)
     parser.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                         help="force the JAX backend (overrides any sitecustomize"
@@ -134,7 +142,7 @@ def main():
             log.info(f"pretrained: {len(unused)} checkpoint path(s) unused "
                      f"(e.g. {unused[0]})")
 
-    dataset = PairDataset(train_cfg, cfg.anchors, num_epoch=1)
+    dataset = PairDataset(train_cfg, cfg.anchors, num_epoch=1, seed=args.seed)
     loader = DataLoader(dataset, args.batch, num_workers=args.workers,
                         workers_mode=args.workers_mode)
     num_per_epoch = len(loader)
