@@ -165,15 +165,18 @@ def prepare(work_dir: str, frames_dir: str = TENNIS_DIR, log=print):
     stage2["network"]["arch"] = "Custom"
     stage2["hp"].update(out_size=127, seg_thr=0.35, penalty_k=0.04,
                         window_influence=0.4, lr=1.0)
-    # Warmup matters here: refine trains from fresh init against ~7% positive
-    # pixels per window — an all-background soft-margin floor of ~0.25 whose
-    # escape is sensitive to the first steps. A full-lr (0.01 x loss weight
-    # 36) first step was measured blasting the mean soft-margin to 1.37
-    # (logits ~-18, softplus saturated) and the run sat at the floor for all
-    # 24 epochs with mask IoU exactly 0; the 2-epoch ramp removes that
-    # overshoot mode. See RESULTS.md for the escape-dynamics history.
-    stage2["lr"] = {"type": "log", "start_lr": 0.01, "end_lr": 0.0025,
-                    "warmup": {"start_lr": 0.001, "end_lr": 0.01,
+    # The lr here is a measured knife edge: refine trains from fresh init
+    # against ~7% positive pixels per window — an all-background soft-margin
+    # floor of ~0.25. At lr 0.01 (x loss weight 36) most trajectories blast
+    # the forming mask structure into softplus saturation and sit at the
+    # floor for the whole run with IoU exactly 0 (two independent 24-epoch
+    # runs died this way: one from the first full-lr step, one at the end of
+    # a 2-epoch 0.001->0.01 warmup that had been learning steadily until the
+    # ramp hit 0.01). The same trajectories learn monotonically at lr
+    # 0.001-0.003, so the schedule stays inside that measured-healthy band.
+    # See RESULTS.md for the escape-dynamics history.
+    stage2["lr"] = {"type": "log", "start_lr": 0.003, "end_lr": 0.001,
+                    "warmup": {"start_lr": 0.001, "end_lr": 0.003,
                                "type": "step", "step": 1, "epoch": 2}}
     stage2["loss"]["weight"] = [0, 0, 36]
     td = stage2["train_datasets"]
