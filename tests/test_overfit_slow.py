@@ -127,6 +127,62 @@ def test_overfit_siamrpn_pipeline_end_to_end(tmp_path):
             overfit.N_FRAMES - gt["held_out_start"] - 1
 
 
+@pytest.mark.skipif(not exists(TENNIS), reason="tennis clip not present")
+def test_overfit_multi_pipeline_end_to_end(tmp_path):
+    """The two-video / two-sub-dataset variant (--task multi): prepare_multi
+    builds the mirrored+inverted second clip and a two-SubDataset config with
+    the reference's neg/gray sampling probabilities -> single-stage train CLI
+    (cross-dataset negatives + gray aug actually drawn) -> evaluate scores
+    BOTH clips' held-out tails from the one checkpoint."""
+    overfit = _overfit()
+    work = str(tmp_path / "work")
+    overfit.prepare_multi(work, TENNIS, log=lambda *_: None)
+
+    # second clip on disk: full frames for tracking eval + train-split crops
+    assert len(os.listdir(join(work, "frames_inv"))) == overfit.N_FRAMES
+    crops = os.listdir(join(work, "crop511_inv", "tennis_inv"))
+    assert len(crops) == 2 * overfit.HELD_OUT_START
+    gt = json.load(open(join(work, "gt.json")))
+    gt_inv = json.load(open(join(work, "gt_inv.json")))
+    # mirrored gt: x-extent flips, y-extent unchanged, width preserved
+    b, bi = gt["boxes"][10], gt_inv["boxes"][10]
+    assert bi[1] == b[1] and bi[3] == b[3]
+    assert abs((bi[2] - bi[0]) - (b[2] - b[0])) < 1e-9
+
+    p = join(work, "config_multi.json")
+    cfg = json.load(open(p))
+    td = cfg["train_datasets"]
+    assert set(td["datasets"]) == {"ytb_vos", "coco"}
+    assert td["augmentation"]["neg"] == 0.2
+    td["num"] = 16
+    for d in td["datasets"].values():
+        d["num_use"] = 8
+    json.dump(cfg, open(p, "w"))
+
+    ck = overfit.run_training_multi(work, epochs=1, batch=8, platform="cpu",
+                                    num_devices=None, width=8,
+                                    log=lambda *_: None)
+    assert exists(ck)
+
+    subprocess.run([sys.executable, str(REPO / "tools" / "overfit.py"),
+                    "--evaluate", "--task", "multi", "--epochs-multi", "1",
+                    "--work-dir", work, "--width", "8", "--platform", "cpu"],
+                   check=True, env=dict(os.environ))
+    report = json.load(open(join(work, "report_multi.json")))
+    assert report["task"] == "multi"
+    fit = report["train_fit"]
+    for split in ("init", "trained"):
+        assert all(v == v for v in fit[split].values())
+    assert fit["trained"]["total_loss"] < fit["init"]["total_loss"]
+    held = report["held_out_tracking"]
+    assert set(held) == {"tennis", "tennis_inv"}
+    for clip in held:
+        for split in ("init", "trained"):
+            assert 0.0 <= held[clip][split]["mean_iou"] <= 1.0
+            assert len(held[clip][split]["per_frame_iou"]) == \
+                overfit.N_FRAMES - gt["held_out_start"] - 1
+
+
 def test_keyframe_interpolation():
     overfit = _overfit()
     boxes = overfit.interpolate_boxes()

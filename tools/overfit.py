@@ -190,6 +190,112 @@ def prepare(work_dir: str, frames_dir: str = TENNIS_DIR, log=print):
     log(f"prepared {HELD_OUT_START} train frames -> {crop_dir}")
 
 
+def prepare_multi(work_dir: str, frames_dir: str = TENNIS_DIR, log=print):
+    """Two-video / two-sub-dataset variant of :func:`prepare`.
+
+    The single-video proofs never exercise the multi-source machinery the
+    reference trains with (4 sub-datasets mixed per epoch, 20% negative
+    pairs, `datasets/siam_mask_dataset.py:494-509,520-533`): sub-dataset
+    pick mixing, cross-dataset negative sampling (template from one source,
+    search from another — the anchor-target 'neg' mode marks the center
+    region negative-only), and the grayscale augmentation. This builds a
+    second pseudo-video — `tennis_inv`, the clip mirrored horizontally and
+    color-inverted, so its trajectories AND appearance statistics differ —
+    registers the two clips as two SubDatasets (marks 'ytb_vos' / 'coco',
+    both mask-bearing), and writes `config_multi.json` with the reference's
+    stage-1 sampling probabilities (neg 0.2, gray 0.25; inner_neg 0.5 so
+    half the negatives cross datasets).
+
+    GrabCut masks for video 2 are computed on the *flipped original* frames
+    (masks are geometric, so they apply to the inverted pixels unchanged —
+    same pseudo-gt quality as video 1).
+    """
+    prepare(work_dir, frames_dir, log=log)
+
+    im0 = cv2.imread(join(frames_dir, "00000.jpg"))
+    width = im0.shape[1]
+    boxes = interpolate_boxes()
+    # x-mirror: x0' = W - x1, x1' = W - x0
+    boxes_inv = boxes.copy()
+    boxes_inv[:, 0] = width - boxes[:, 2]
+    boxes_inv[:, 2] = width - boxes[:, 0]
+    with open(join(work_dir, "gt_inv.json"), "w") as f:
+        json.dump({"boxes": boxes_inv.tolist(),
+                   "held_out_start": HELD_OUT_START}, f)
+
+    inv_frames_dir = join(work_dir, "frames_inv")
+    makedirs(inv_frames_dir, exist_ok=True)
+    crop_dir = join(work_dir, "crop511_inv", "tennis_inv")
+    makedirs(crop_dir, exist_ok=True)
+
+    from siammask_tpu.data.prep import crop_like_siamfc
+
+    frames = {}
+    for fidx in range(N_FRAMES):
+        im = cv2.imread(join(frames_dir, f"{fidx:05d}.jpg"))
+        im_f = im[:, ::-1].copy()
+        im_inv = 255 - im_f
+        cv2.imwrite(join(inv_frames_dir, f"{fidx:05d}.jpg"), im_inv)
+        if fidx >= HELD_OUT_START:
+            continue
+        box = boxes_inv[fidx]
+        m = grabcut_mask(im_f, box)
+        avg = np.mean(im_inv, axis=(0, 1))
+        x = crop_like_siamfc(im_inv, box, search_size=511, padding=avg)
+        xm = crop_like_siamfc(m.astype(np.float32), box,
+                              search_size=511) > 0.5
+        cv2.imwrite(join(crop_dir, f"{fidx:06d}.00.x.jpg"), x)
+        cv2.imwrite(join(crop_dir, f"{fidx:06d}.00.m.png"),
+                    xm.astype(np.uint8) * 255)
+        frames[f"{fidx:06d}"] = [float(v) for v in box]
+        if fidx % 10 == 0:
+            log(f"prepared inv frame {fidx}/{HELD_OUT_START}")
+    with open(join(work_dir, "train_inv.json"), "w") as f:
+        json.dump({"tennis_inv": {"00": frames}}, f)
+
+    with open(join(work_dir, "config_stage1.json")) as f:
+        multi = json.load(f)
+    td = multi["train_datasets"]
+    td["datasets"] = {
+        "ytb_vos": {"root": join(work_dir, "crop511"),
+                    "anno": join(work_dir, "train.json"),
+                    "num_use": 512, "frame_range": 20},
+        "coco": {"root": join(work_dir, "crop511_inv"),
+                 "anno": join(work_dir, "train_inv.json"),
+                 "num_use": 512, "frame_range": 20},
+    }
+    td["num"] = 1024
+    td["augmentation"].update(neg=0.2, inner_neg=0.5, gray=0.25)
+    with open(join(work_dir, "config_multi.json"), "w") as f:
+        json.dump(multi, f, indent=2)
+    log(f"prepared {HELD_OUT_START} inv train frames -> {crop_dir}")
+
+
+def run_training_multi(work_dir: str, epochs: int, batch: int,
+                       platform: str | None, num_devices: int | None,
+                       width: int | None, seed: int | None = 0, log=print):
+    """Drive the real train CLI on the two-sub-dataset config (stage 1
+    semantics: SiamMask-base across the 50% unfreeze boundary)."""
+    py = sys.executable
+    tools = dirname(realpath(__file__))
+    common = ["--workers", "2", "--log-interval", "8", "--batch", str(batch)]
+    if seed is not None:
+        common += ["--seed", str(seed)]
+    if platform:
+        common += ["--platform", platform]
+    if num_devices:
+        common += ["--num-devices", str(num_devices)]
+    if width:
+        common += ["--width", str(width)]
+    out_dir = join(work_dir, "snapshot_multi")
+    cmd = [py, join(tools, "train.py"), "--config",
+           join(work_dir, "config_multi.json"), "--task", "base",
+           "--epochs", str(epochs), "--save-dir", out_dir] + common
+    log("multi: " + " ".join(cmd))
+    subprocess.run(cmd, check=True)
+    return join(out_dir, f"checkpoint_e{epochs}.msgpack")
+
+
 def run_training(work_dir: str, epochs1: int, epochs2: int, batch: int,
                  platform: str | None, num_devices: int | None,
                  width: int | None, seed: int | None = 0, log=print):
@@ -307,7 +413,10 @@ def evaluate_train_fit(variables, model, work_dir: str, batch: int = 8,
                                             build_optimizer, make_train_step)
 
     cfg = Config.load(join(work_dir, config_name))
-    dataset = PairDataset(cfg.train_datasets, cfg.anchors, num_epoch=1)
+    # seed=0: init and trained checkpoints are scored on the SAME
+    # deterministic batch (the pipeline's per-(seed, item) streams), so the
+    # reported drop is parameter movement only, not batch luck
+    dataset = PairDataset(cfg.train_datasets, cfg.anchors, num_epoch=1, seed=0)
     loader = DataLoader(dataset, batch, num_workers=0)
     batch_np = next(iter(loader))
     settings = TrainSettings(task=task, loss_weight=loss_weight,
@@ -337,13 +446,19 @@ def main():
     # too early and never escaped). 24 epochs = 1536 steps keeps lr >= 0.005
     # for ~1100 of them.
     parser.add_argument("--epochs2", type=int, default=24)
-    parser.add_argument("--task", default="mask", choices=["mask", "siamrpn"],
+    parser.add_argument("--task", default="mask",
+                        choices=["mask", "siamrpn", "multi"],
                         help="'mask': the two-stage SiamMask recipe (default);"
                              " 'siamrpn': the box-only trainer "
                              "(tools/train_siamrpn.py analogue) — single "
                              "stage across the 50%% unfreeze boundary, "
-                             "scored on held-out box IoU only")
+                             "scored on held-out box IoU only; 'multi': the "
+                             "two-video / two-sub-dataset stage-1 proof "
+                             "(cross-dataset negatives + gray aug on, "
+                             "reference sampling probabilities), scored on "
+                             "BOTH clips' held-out tails")
     parser.add_argument("--epochs-rpn", type=int, default=16)
+    parser.add_argument("--epochs-multi", type=int, default=16)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--width", type=int, default=None,
                         help="reduced backbone width (CPU smoke runs)")
@@ -360,12 +475,19 @@ def main():
     seed = None if args.seed == -1 else args.seed
 
     if args.prepare:
-        prepare(args.work_dir, args.frames_dir)
+        if args.task == "multi":
+            prepare_multi(args.work_dir, args.frames_dir)
+        else:
+            prepare(args.work_dir, args.frames_dir)
     if args.train:
         if args.task == "siamrpn":
             run_training_rpn(args.work_dir, args.epochs_rpn, args.batch,
                              args.platform, args.num_devices, args.width,
                              seed=seed)
+        elif args.task == "multi":
+            run_training_multi(args.work_dir, args.epochs_multi, args.batch,
+                               args.platform, args.num_devices, args.width,
+                               seed=seed)
         else:
             run_training(args.work_dir, args.epochs1, args.epochs2,
                          args.batch, args.platform, args.num_devices,
@@ -377,17 +499,24 @@ def main():
         import jax
         import jax.numpy as jnp
 
-        from siammask_tpu.models.siammask import SiamMaskSharp, SiamRPN
+        from siammask_tpu.models.siammask import (SiamMaskBase, SiamMaskSharp,
+                                                  SiamRPN)
         from siammask_tpu.train.checkpoint import (load_checkpoint,
                                                    merge_variables)
 
         kw = {"width": args.width} if args.width else {}
         rpn_task = args.task == "siamrpn"
+        multi_task = args.task == "multi"
         if rpn_task:
             model = SiamRPN(xcorr_impl="shift", **kw)
             search = 255
             ckpt = join(args.work_dir, "snapshot_rpn",
                         f"checkpoint_e{args.epochs_rpn}.msgpack")
+        elif multi_task:
+            model = SiamMaskBase(xcorr_impl="shift", **kw)
+            search = 255
+            ckpt = join(args.work_dir, "snapshot_multi",
+                        f"checkpoint_e{args.epochs_multi}.msgpack")
         else:
             model = SiamMaskSharp(xcorr_impl="shift", **kw)
             search = 143
@@ -407,9 +536,16 @@ def main():
               "seg_thr": 0.35, "penalty_k": 0.04, "window_influence": 0.4,
               "lr": 1.0}
 
-        fit_kw = dict(config_name="config_rpn.json", task="siamrpn",
-                      loss_weight=(1.0, 1.2, 0.0)) if rpn_task else {}
-        track_kw = dict(mask=False, refine=False) if rpn_task else {}
+        if rpn_task:
+            fit_kw = dict(config_name="config_rpn.json", task="siamrpn",
+                          loss_weight=(1.0, 1.2, 0.0))
+        elif multi_task:
+            fit_kw = dict(config_name="config_multi.json", task="base",
+                          loss_weight=(1.0, 1.2, 36.0))
+        else:
+            fit_kw = {}
+        track_kw = (dict(mask=False, refine=False)
+                    if (rpn_task or multi_task) else {})
         report = {"held_out_start": gt["held_out_start"], "task": args.task}
         report["train_fit"] = {
             "init": evaluate_train_fit(init_vars, model, args.work_dir,
@@ -417,24 +553,51 @@ def main():
             "trained": evaluate_train_fit(trained_vars, model, args.work_dir,
                                           **fit_kw),
         }
-        report["held_out_tracking"] = {
-            "init": evaluate_tracking(init_vars, model, hp, boxes,
-                                      args.frames_dir,
-                                      start=gt["held_out_start"], **track_kw),
-            "trained": evaluate_tracking(trained_vars, model, hp, boxes,
-                                         args.frames_dir,
-                                         start=gt["held_out_start"],
-                                         **track_kw),
-        }
-        default_report = ("report_rpn.json" if rpn_task else "report.json")
+        if multi_task:
+            # one checkpoint, BOTH clips' held-out tails (the flipped+
+            # inverted clip tracks from frames_inv with its own mirrored gt)
+            with open(join(args.work_dir, "gt_inv.json")) as f:
+                gt_inv = json.load(f)
+            clips = {
+                "tennis": (args.frames_dir, boxes),
+                "tennis_inv": (join(args.work_dir, "frames_inv"),
+                               np.array(gt_inv["boxes"])),
+            }
+            report["held_out_tracking"] = {
+                clip: {
+                    "init": evaluate_tracking(
+                        init_vars, model, hp, b, fdir,
+                        start=gt["held_out_start"], **track_kw),
+                    "trained": evaluate_tracking(
+                        trained_vars, model, hp, b, fdir,
+                        start=gt["held_out_start"], **track_kw),
+                } for clip, (fdir, b) in clips.items()
+            }
+            summary_iou = {
+                clip: {s: report["held_out_tracking"][clip][s]["mean_iou"]
+                       for s in ("init", "trained")} for clip in clips}
+        else:
+            report["held_out_tracking"] = {
+                "init": evaluate_tracking(init_vars, model, hp, boxes,
+                                          args.frames_dir,
+                                          start=gt["held_out_start"],
+                                          **track_kw),
+                "trained": evaluate_tracking(trained_vars, model, hp, boxes,
+                                             args.frames_dir,
+                                             start=gt["held_out_start"],
+                                             **track_kw),
+            }
+            summary_iou = {s: report["held_out_tracking"][s]["mean_iou"]
+                           for s in ("init", "trained")}
+        default_report = {"siamrpn": "report_rpn.json",
+                          "multi": "report_multi.json"}.get(args.task,
+                                                            "report.json")
         out = args.report or join(args.work_dir, default_report)
         with open(out, "w") as f:
             json.dump(report, f, indent=2)
         print(json.dumps({k: v for k, v in report.items()
                           if k != "held_out_tracking"} | {
-            "held_out_mean_iou": {
-                s: report["held_out_tracking"][s]["mean_iou"]
-                for s in ("init", "trained")}}, indent=2))
+            "held_out_mean_iou": summary_iou}, indent=2))
 
 
 if __name__ == "__main__":
