@@ -23,6 +23,7 @@ ARTIFACT_DIR = join(dirname(dirname(realpath(__file__))),
                     "experiments", "overfit_tennis")
 REPORT = join(ARTIFACT_DIR, "report.json")
 REPORT_RPN = join(ARTIFACT_DIR, "report_rpn.json")
+REPORT_MULTI = join(ARTIFACT_DIR, "report_multi.json")
 
 
 @pytest.fixture(scope="module")
@@ -87,3 +88,41 @@ def test_rpn_held_out_tracking_improves(report_rpn):
     assert trained["mean_iou"] > init["mean_iou"] + 0.2
     assert trained["mean_iou"] > 0.5
     assert trained["lost"] <= init["lost"]
+
+
+# --- Multi-video / multi-dataset proof: two clips registered as two
+# SubDatasets, trained as ONE stage-1 run with the reference's sampling
+# probabilities (neg 0.2 incl. cross-dataset negatives, gray 0.25) — the
+# pick-mixing + negative-pair machinery (reference
+# datasets/siam_mask_dataset.py:494-509,520-533) demonstrated to learn, not
+# just unit-tested. One checkpoint must track BOTH clips' held-out tails.
+
+@pytest.fixture(scope="module")
+def report_multi():
+    if not exists(REPORT_MULTI):
+        pytest.skip("multi-video overfit artifact not produced yet "
+                    "(tools/overfit.py --task multi)")
+    with open(REPORT_MULTI) as f:
+        return json.load(f)
+
+
+def test_multi_train_fit_losses_collapse(report_multi):
+    assert report_multi["task"] == "multi"
+    init = report_multi["train_fit"]["init"]
+    trained = report_multi["train_fit"]["trained"]
+    # the scored batch includes negative pairs (cls-only supervision), so
+    # the collapse bars sit between the pure-positive mask proof's (>10x)
+    # and the box proof's (>4x)
+    assert trained["total_loss"] < init["total_loss"] / 4
+    assert trained["cls_loss"] < init["cls_loss"] / 2
+    assert trained["mask_loss"] < init["mask_loss"] / 4
+
+
+def test_multi_held_out_tracking_improves_both_clips(report_multi):
+    assert report_multi["held_out_start"] == 56
+    for clip in ("tennis", "tennis_inv"):
+        init = report_multi["held_out_tracking"][clip]["init"]
+        trained = report_multi["held_out_tracking"][clip]["trained"]
+        assert trained["mean_iou"] > init["mean_iou"] + 0.2, clip
+        assert trained["mean_iou"] > 0.5, clip
+        assert trained["lost"] <= init["lost"], clip
