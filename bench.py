@@ -218,6 +218,8 @@ def bench_train(args):
     float(np.asarray(losses)[-1])
 
     iters = max(1, args.iters // 128) * K
+    soft = _soft_deadline()
+    done = 0
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
     t0 = time.perf_counter()
@@ -234,17 +236,27 @@ def bench_train(args):
         # At queue depth 1 both are honest; the small fetch adds one RTT per
         # K-step window (~4% at K=8).
         final_loss = float(np.asarray(losses)[-1])
+        done += 1
         if os.environ.get("BENCH_DEBUG"):
             print(f"dispatch {_i}: {(time.perf_counter() - _t) * 1e3:.1f} ms "
                   f"loss={final_loss:.2f}", flush=True)
+        if time.time() > soft:
+            # summary child out of row budget: stop here with an honest
+            # shorter measurement (every dispatch above is fully drained)
+            # rather than let the parent SIGKILL a device-active process
+            break
     dt = time.perf_counter() - t0
     if args.profile_dir:
         jax.profiler.stop_trace()
     assert np.isfinite(final_loss)
 
+    clamped = done < iters // K
+    iters = done * K
     sps = iters * b / dt
     extras = {"device_step_ms": round(dt / iters * 1e3, 2), "batch": b,
               "phase": "unfrozen" if args.unfrozen else "frozen"}
+    if clamped:
+        extras["iters_clamped"] = iters
     peak = PEAK_FLOPS.get(os.environ.get("PALLAS_AXON_TPU_GEN", "v5e"))
     if fpb and peak:
         mfu = 100.0 * fpb * (iters / dt) / peak
@@ -335,6 +347,19 @@ def _emit_result(payload: dict, cache_key: str):
         pass  # caching is best-effort; never fail the bench over it
 
 
+def _soft_deadline() -> float:
+    """Absolute time.time() after which a measurement should wrap up.
+
+    Set (as BENCH_SOFT_DEADLINE) by run_summary for its row children so a
+    slow row ends with an honest, shorter measurement instead of being
+    SIGKILLed mid-dispatch — killing a device-active process can wedge the
+    chip for minutes (CLAUDE.md). Unset => inf (standalone runs unchanged).
+    The parent's hard kill remains as the backstop for rows that hang in a
+    cold remote compile, where no in-process check can run."""
+    v = os.environ.get("BENCH_SOFT_DEADLINE")
+    return float(v) if v else float("inf")
+
+
 def _bench_cache_key(args) -> str:
     """Canonical cache key for a bench configuration.
 
@@ -353,6 +378,8 @@ def _bench_cache_key(args) -> str:
         ["batch", "remat", "unfrozen", "thin_threshold", "packed_threshold"]
     if train_mode and not sig.get("train_refine"):
         ignored += ["thin_threshold", "packed_threshold"]
+    if not train_mode and sig.get("per_step"):
+        ignored += ["scan"]  # per-step mode times single-frame dispatches
     for k in ignored:
         sig[k] = defaults["--" + k.replace("_", "-")]
     return json.dumps(sig, sort_keys=True)
@@ -518,6 +545,10 @@ def run_summary():
         env = dict(os.environ)
         env.setdefault("BENCH_TUNNEL_WINDOW_S", "90")
         env["BENCH_IN_SUMMARY"] = "1"
+        # soft deadline 30 s inside the hard kill: measurement loops wrap up
+        # with an honest shorter reading instead of dying device-active
+        env["BENCH_SOFT_DEADLINE"] = str(time.time()
+                                         + max(30.0, remaining - 30.0))
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)] + argv,
@@ -636,6 +667,21 @@ def main():
         _, out = run(variables, state, frames)  # compile
         float(np.asarray(out.score).ravel()[-1])  # data-fetch barrier
         reps = max(1, args.iters // t_frames)
+        soft = _soft_deadline()
+        if np.isfinite(soft):
+            # summary child: size the measurement to the remaining row budget
+            # up front (the measured loop chains state with ONE end fetch, so
+            # it cannot be interrupted between windows). One probed window —
+            # dispatch + fetch, an overestimate of the chained per-window
+            # cost, hence conservative — sets the fit.
+            t1 = time.perf_counter()
+            _, out = run(variables, state, frames)
+            float(np.asarray(out.score).ravel()[-1])
+            window = time.perf_counter() - t1
+            fit = int((soft - time.time()) / max(window, 1e-3) * 0.8)
+            if fit < reps:
+                reps = max(2, fit)
+                extras["reps_clamped"] = reps
         if args.profile_dir:
             jax.profiler.start_trace(args.profile_dir)
         t0 = time.perf_counter()

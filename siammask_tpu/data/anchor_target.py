@@ -33,18 +33,22 @@ class AnchorTarget:
         self.cfg = cfg or AnchorTargetConfig()
         self.rng = rng or np.random
 
-    def _select(self, position, keep_num):
+    def _select(self, position, keep_num, rng=None):
         num = position[0].shape[0]
         if num <= keep_num:
             return position, num
         slt = np.arange(num)
-        self.rng.shuffle(slt)
+        (rng or self.rng).shuffle(slt)
         slt = slt[:keep_num]
         return tuple(p[slt] for p in position), keep_num
 
     def __call__(self, anchor: Anchors, target, size: int, neg: bool = False,
-                 need_iou: bool = False):
+                 need_iou: bool = False, rng=None):
         """anchor: Anchors with all_anchors generated; target: corner box.
+
+        ``rng`` (a np.random.RandomState) overrides the constructor-bound
+        generator for this call — the seeded data pipeline passes its private
+        per-item generator so the pos/neg subsampling replays too.
 
         Returns (cls (k,S,S) int64, delta (4,k,S,S) f32, delta_weight (k,S,S) f32
         [, overlap])."""
@@ -57,7 +61,7 @@ class AnchorTarget:
             l = size // 2 - 3
             r = size // 2 + 3 + 1
             cls[:, l:r, l:r] = 0
-            sel, _ = self._select(np.where(cls == 0), self.cfg.negative)
+            sel, _ = self._select(np.where(cls == 0), self.cfg.negative, rng)
             cls[:] = -1
             cls[sel] = 0
             if need_iou:
@@ -80,8 +84,8 @@ class AnchorTarget:
         pos = np.where(overlap > self.cfg.thr_high)
         neg_sel = np.where(overlap < self.cfg.thr_low)
 
-        pos, pos_num = self._select(pos, self.cfg.positive)
-        neg_sel, _ = self._select(neg_sel, self.cfg.rpn_batch - pos_num)
+        pos, pos_num = self._select(pos, self.cfg.positive, rng)
+        neg_sel, _ = self._select(neg_sel, self.cfg.rpn_batch - pos_num, rng)
 
         cls[pos] = 1
         delta_weight[pos] = 1.0 / (pos_num + 1e-6)

@@ -24,7 +24,6 @@ import json
 import logging
 import math
 import random
-import threading
 from dataclasses import dataclass
 from os.path import join
 
@@ -124,29 +123,29 @@ class SubDataset:
         mask_path = join(self.root, video, self.mask_format.format(frame, track))
         return image_path, image_anno, mask_path
 
-    def get_positive_pair(self, index):
+    def get_positive_pair(self, index, rng=random):
         video_name = self.videos[index]
         video = self.labels[video_name]
-        track = random.choice(list(video.keys()))
+        track = rng.choice(list(video.keys()))
         track_info = video[track]
         frames = track_info["frames"]
 
-        template_idx = random.randint(0, len(frames) - 1)
+        template_idx = rng.randint(0, len(frames) - 1)
         left = max(template_idx - self.frame_range, 0)
         right = min(template_idx + self.frame_range, len(frames) - 1) + 1
         search_range = frames[left:right]
         template_frame = frames[template_idx]
-        search_frame = random.choice(search_range)
+        search_frame = rng.choice(search_range)
         return (self.get_image_anno(video_name, track, template_frame),
                 self.get_image_anno(video_name, track, search_frame))
 
-    def get_random_target(self, index=-1):
+    def get_random_target(self, index=-1, rng=random):
         if index == -1:
-            index = random.randint(0, self.num - 1)
+            index = rng.randint(0, self.num - 1)
         video_name = self.videos[index]
         video = self.labels[video_name]
-        track = random.choice(list(video.keys()))
-        frame = random.choice(video[track]["frames"])
+        track = rng.choice(list(video.keys()))
+        frame = rng.choice(video[track]["frames"])
         return self.get_image_anno(video_name, track, frame)
 
 
@@ -176,18 +175,22 @@ class Augmentation:
         self.__dict__.update(cfg)
 
     @staticmethod
-    def random():
-        return random.random() * 2 - 1.0
+    def random(rng=random):
+        return rng.random() * 2 - 1.0
 
-    def blur_image(self, image):
+    # NB: rng/nprng default via None sentinels — a `rng=random` default
+    # evaluated in the class body would bind the `random` STATICMETHOD
+    # above, not the module.
+    def blur_image(self, image, rng=None, nprng=np.random):
+        rng = rng or random
         def rand_kernel():
-            size = int(np.round(np.random.randn(1)[0])) * 2 + 1
-            if size < 0 or random.random() < 0.5:
+            size = int(np.round(nprng.randn(1)[0])) * 2 + 1
+            if size < 0 or rng.random() < 0.5:
                 return None
             size = min(size, 45)
             kernel = np.zeros((size, size))
             c = int(size / 2)
-            wx = random.random()
+            wx = rng.random()
             kernel[:, c] += 1.0 / size * wx
             kernel[c, :] += 1.0 / size * (1 - wx)
             return kernel
@@ -197,7 +200,9 @@ class Augmentation:
             image = cv2.filter2D(image, -1, kernel)
         return image
 
-    def __call__(self, image, bbox, size, gray=False, mask=None):
+    def __call__(self, image, bbox, size, gray=False, mask=None,
+                 rng=None, nprng=np.random):
+        rng = rng or random
         if gray:
             grayed = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
             image = np.stack([grayed] * 3, axis=-1)
@@ -208,11 +213,11 @@ class Augmentation:
                                          size - 1, size - 1))
         param = {}
         if self.shift:
-            param["shift"] = (Augmentation.random() * self.shift,
-                              Augmentation.random() * self.shift)
+            param["shift"] = (Augmentation.random(rng) * self.shift,
+                              Augmentation.random(rng) * self.shift)
         if self.scale:
-            param["scale"] = (1.0 + Augmentation.random() * self.scale,
-                              1.0 + Augmentation.random() * self.scale)
+            param["scale"] = (1.0 + Augmentation.random(rng) * self.scale,
+                              1.0 + Augmentation.random(rng) * self.scale)
 
         crop_bbox, _ = aug_apply(Corner(*crop_bbox), param, shape)
 
@@ -226,20 +231,20 @@ class Augmentation:
         if mask is not None:
             mask = crop_hwc(mask, crop_bbox, size)
 
-        offset = np.dot(self.rgbVar, np.random.randn(3, 1))[::-1].reshape(3)
+        offset = np.dot(self.rgbVar, nprng.randn(3, 1))[::-1].reshape(3)
         image = image - offset
 
-        if self.blur > random.random():
-            image = self.blur_image(image)
+        if self.blur > rng.random():
+            image = self.blur_image(image, rng, nprng)
 
         if self.resize:
             im_sz = image.shape[:2]
-            ratio = max(math.pow(random.random(), 0.5), 0.2)
+            ratio = max(math.pow(rng.random(), 0.5), 0.2)
             rand_sz = (int(round(ratio * im_sz[0])), int(round(ratio * im_sz[1])))
             image = cv2.resize(image, rand_sz)
             image = cv2.resize(image, tuple(im_sz))
 
-        if self.flip and self.flip > Augmentation.random():
+        if self.flip and self.flip > Augmentation.random(rng):
             image = cv2.flip(image, 1)
             if mask is not None:
                 mask = cv2.flip(mask, 1)
@@ -273,15 +278,20 @@ class PairDataset:
         # Deterministic per-ITEM seeding (reference parity note: torch's
         # DataLoader derives deterministic worker seeds from a generator, so
         # a seeded reference run replays exactly — train_siammask.py relies
-        # on that for debugging). Our loader draws through the module-global
-        # `random`/`np.random` streams, which diverge with thread/process
-        # interleaving; with `seed` set, __getitem__ re-seeds both globals
-        # per (seed, item) under a lock and restores them after, so the
-        # augmentation stream for item i is a pure function of (seed, i) —
-        # independent of worker count, mode, or scheduling (stronger than
-        # torch, whose stream moves when num_workers changes).
+        # on that for debugging). Unseeded, the loader draws through the
+        # module-global `random`/`np.random` streams (reference behavior),
+        # which diverge with thread/process interleaving; with `seed` set,
+        # __getitem__ hands _get_item PRIVATE per-(seed, generation, item)
+        # generators, so the augmentation stream for item i is a pure
+        # function of (seed, i) — independent of worker count, mode, or
+        # scheduling (stronger than torch, whose stream moves when
+        # num_workers changes), with no lock and no global-state mutation
+        # (a concurrent unseeded loader in the same process is unaffected).
+        # random.Random(k)/np.random.RandomState(k) draw the exact streams
+        # random.seed(k)/np.random.seed(k) would, so seeded runs recorded
+        # under the earlier re-seed-the-globals implementation replay
+        # identically (experiments/overfit_tennis round-5 artifacts).
         self.seed = seed
-        self._seed_lock = threading.Lock()
         self._generation = 0  # bumped by shuffle() so epochs draw fresh streams
         # with a seed, pick shuffling uses a PRIVATE stream so the instance is
         # self-deterministic (the module-global sample_random is shared by
@@ -375,33 +385,26 @@ class PairDataset:
     def __getitem__(self, index) -> Sample:
         if self.seed is None:
             return self._get_item(index)
-        with self._seed_lock:
-            r_state = random.getstate()
-            np_state = np.random.get_state()
-            item = self.seed * 1000003 + self._generation * 7368787 + index
-            random.seed(item % (2 ** 31))
-            np.random.seed((item * 920419823 + 3) % (2 ** 31))
-            try:
-                return self._get_item(index)
-            finally:
-                random.setstate(r_state)
-                np.random.set_state(np_state)
+        item = self.seed * 1000003 + self._generation * 7368787 + index
+        rng = random.Random(item % (2 ** 31))
+        nprng = np.random.RandomState((item * 920419823 + 3) % (2 ** 31))
+        return self._get_item(index, rng, nprng)
 
-    def _get_item(self, index) -> Sample:
+    def _get_item(self, index, rng=random, nprng=np.random) -> Sample:
         index = self.pick[index]
         dataset, index = self._find_dataset(index)
 
-        gray = self.gray and self.gray > random.random()
-        neg = self.neg and self.neg > random.random()
+        gray = self.gray and self.gray > rng.random()
+        neg = self.neg and self.neg > rng.random()
 
         if neg:
-            template = dataset.get_random_target(index)
-            if self.inner_neg and self.inner_neg > random.random():
-                search = dataset.get_random_target()
+            template = dataset.get_random_target(index, rng)
+            if self.inner_neg and self.inner_neg > rng.random():
+                search = dataset.get_random_target(rng=rng)
             else:
-                search = random.choice(self.all_data).get_random_target()
+                search = rng.choice(self.all_data).get_random_target(rng=rng)
         else:
-            template, search = dataset.get_positive_pair(index)
+            template, search = dataset.get_positive_pair(index, rng)
 
         def center_crop(img, size):
             shape = img.shape[1]
@@ -429,13 +432,16 @@ class PairDataset:
         search_box = self._to_bbox(search_image, search[1])
 
         template_im, _, _ = self.template_aug(template_image, template_box,
-                                              self.template_size, gray=gray)
+                                              self.template_size, gray=gray,
+                                              rng=rng, nprng=nprng)
         search_im, bbox, mask = self.search_aug(search_image, search_box,
                                                 self.search_size, gray=gray,
-                                                mask=search_mask)
+                                                mask=search_mask,
+                                                rng=rng, nprng=nprng)
 
         cls, delta, delta_weight = self.anchor_target(
-            self.anchors, bbox, self.size, neg)
+            self.anchors, bbox, self.size, neg,
+            rng=None if nprng is np.random else nprng)
         if dataset.has_mask and not neg:
             mask_weight = cls.max(axis=0).astype(np.float32)
         else:

@@ -131,11 +131,15 @@ class Tracker:
         if sample_impl == "auto":
             sample_impl = "mm" if deploy and latency_lowerings else "gather"
         if multi_sample_impl == "auto":
-            multi_sample_impl = "mm" if deploy else "gather"
+            # latency_lowerings=False is the parity opt-out and must gate the
+            # batched path too, or Tracker(bf16, latency_lowerings=False)
+            # silently compares deployment lowerings instead of algorithms
+            multi_sample_impl = ("mm" if deploy and latency_lowerings
+                                 else "gather")
         if crop_packed is None:
             crop_packed = False          # neutral at batch 1 (431.2 vs 431.0)
         if multi_crop_packed is None:
-            multi_crop_packed = deploy
+            multi_crop_packed = deploy and latency_lowerings
         self._impl_single = sample_impl
         self._packed_single = crop_packed and latency_lowerings
         self._impl_multi = multi_sample_impl

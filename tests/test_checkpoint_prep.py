@@ -322,7 +322,8 @@ def test_pair_dataset_deterministic_seed(tmp_path):
     a.shuffle()
     assert not np.array_equal(gen0, a[0].search)
 
-    # the seeded path restores the global RNG state it borrowed
+    # the seeded path never touches the global RNG streams (it draws from
+    # private per-item generators), so unrelated draws are uncontaminated
     _random.seed(4242)
     np.random.seed(4242)
     r_expect = _random.random()
@@ -332,3 +333,27 @@ def test_pair_dataset_deterministic_seed(tmp_path):
     _ = b[3]
     assert _random.random() == r_expect
     assert np.random.rand() == n_expect
+
+    # ...and, symmetrically, seeded items are immune to concurrent global-RNG
+    # traffic from other threads (e.g. a second UNSEEDED loader in-process):
+    # no lock, no shared stream (advisor round-5 finding — the earlier
+    # implementation re-seeded the globals under a lock, so a concurrent
+    # drawer both perturbed and was perturbed by the seeded window)
+    import threading
+
+    ref3 = b[3].search.copy()
+    stop = threading.Event()
+
+    def hammer():
+        while not stop.is_set():
+            _random.random()
+            np.random.rand()
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    try:
+        for _ in range(3):
+            np.testing.assert_array_equal(ref3, b[3].search)
+    finally:
+        stop.set()
+        t.join()

@@ -271,64 +271,55 @@ def prepare_multi(work_dir: str, frames_dir: str = TENNIS_DIR, log=print):
     log(f"prepared {HELD_OUT_START} inv train frames -> {crop_dir}")
 
 
+def _run_train_cli(work_dir: str, config_name: str, task: str, epochs: int,
+                   snapshot_dir: str, batch: int, platform: str | None,
+                   num_devices: int | None, width: int | None,
+                   seed: int | None, log, pretrained: str | None = None,
+                   label: str | None = None) -> str:
+    """Assemble + run one tools/train.py invocation; return the checkpoint."""
+    cmd = [sys.executable,
+           join(dirname(realpath(__file__)), "train.py"),
+           "--config", join(work_dir, config_name), "--task", task,
+           "--epochs", str(epochs),
+           "--save-dir", join(work_dir, snapshot_dir),
+           "--workers", "2", "--log-interval", "8", "--batch", str(batch)]
+    if pretrained:
+        cmd += ["--pretrained", pretrained]
+    if seed is not None:
+        cmd += ["--seed", str(seed)]
+    if platform:
+        cmd += ["--platform", platform]
+    if num_devices:
+        cmd += ["--num-devices", str(num_devices)]
+    if width:
+        cmd += ["--width", str(width)]
+    log(f"{label or task}: " + " ".join(cmd))
+    subprocess.run(cmd, check=True)
+    return join(work_dir, snapshot_dir, f"checkpoint_e{epochs}.msgpack")
+
+
 def run_training_multi(work_dir: str, epochs: int, batch: int,
                        platform: str | None, num_devices: int | None,
                        width: int | None, seed: int | None = 0, log=print):
     """Drive the real train CLI on the two-sub-dataset config (stage 1
     semantics: SiamMask-base across the 50% unfreeze boundary)."""
-    py = sys.executable
-    tools = dirname(realpath(__file__))
-    common = ["--workers", "2", "--log-interval", "8", "--batch", str(batch)]
-    if seed is not None:
-        common += ["--seed", str(seed)]
-    if platform:
-        common += ["--platform", platform]
-    if num_devices:
-        common += ["--num-devices", str(num_devices)]
-    if width:
-        common += ["--width", str(width)]
-    out_dir = join(work_dir, "snapshot_multi")
-    cmd = [py, join(tools, "train.py"), "--config",
-           join(work_dir, "config_multi.json"), "--task", "base",
-           "--epochs", str(epochs), "--save-dir", out_dir] + common
-    log("multi: " + " ".join(cmd))
-    subprocess.run(cmd, check=True)
-    return join(out_dir, f"checkpoint_e{epochs}.msgpack")
+    return _run_train_cli(work_dir, "config_multi.json", "base", epochs,
+                          "snapshot_multi", batch, platform, num_devices,
+                          width, seed, log, label="multi")
 
 
 def run_training(work_dir: str, epochs1: int, epochs2: int, batch: int,
                  platform: str | None, num_devices: int | None,
                  width: int | None, seed: int | None = 0, log=print):
     """Drive the real train CLI for both stages (the reference run.sh flow)."""
-    py = sys.executable
-    tools = dirname(realpath(__file__))
-    common = ["--workers", "2", "--log-interval", "8", "--batch", str(batch)]
-    if seed is not None:
-        common += ["--seed", str(seed)]
-    if platform:
-        common += ["--platform", platform]
-    if num_devices:
-        common += ["--num-devices", str(num_devices)]
-    if width:
-        common += ["--width", str(width)]
-
-    s1_dir = join(work_dir, "snapshot_stage1")
-    cmd = [py, join(tools, "train.py"), "--config",
-           join(work_dir, "config_stage1.json"), "--task", "base",
-           "--epochs", str(epochs1), "--save-dir", s1_dir] + common
-    log("stage 1: " + " ".join(cmd))
-    subprocess.run(cmd, check=True)
-
-    s2_dir = join(work_dir, "snapshot_stage2")
-    cmd = [py, join(tools, "train.py"), "--config",
-           join(work_dir, "config_stage2.json"), "--task", "sharp_refine",
-           "--epochs", str(epochs2), "--save-dir", s2_dir,
-           "--pretrained", join(s1_dir, f"checkpoint_e{epochs1}.msgpack")
-           ] + common
-    log("stage 2: " + " ".join(cmd))
-    subprocess.run(cmd, check=True)
-    return (join(s1_dir, f"checkpoint_e{epochs1}.msgpack"),
-            join(s2_dir, f"checkpoint_e{epochs2}.msgpack"))
+    s1 = _run_train_cli(work_dir, "config_stage1.json", "base", epochs1,
+                        "snapshot_stage1", batch, platform, num_devices,
+                        width, seed, log, label="stage 1")
+    s2 = _run_train_cli(work_dir, "config_stage2.json", "sharp_refine",
+                        epochs2, "snapshot_stage2", batch, platform,
+                        num_devices, width, seed, log, pretrained=s1,
+                        label="stage 2")
+    return s1, s2
 
 
 def run_training_rpn(work_dir: str, epochs: int, batch: int,
@@ -336,24 +327,9 @@ def run_training_rpn(work_dir: str, epochs: int, batch: int,
                      width: int | None, seed: int | None = 0, log=print):
     """Drive the real train CLI for the box-only SiamRPN task (the reference
     tools/train_siamrpn.py flow: single stage, frozen->unfrozen at 50%)."""
-    py = sys.executable
-    tools = dirname(realpath(__file__))
-    common = ["--workers", "2", "--log-interval", "8", "--batch", str(batch)]
-    if seed is not None:
-        common += ["--seed", str(seed)]
-    if platform:
-        common += ["--platform", platform]
-    if num_devices:
-        common += ["--num-devices", str(num_devices)]
-    if width:
-        common += ["--width", str(width)]
-    rpn_dir = join(work_dir, "snapshot_rpn")
-    cmd = [py, join(tools, "train.py"), "--config",
-           join(work_dir, "config_rpn.json"), "--task", "siamrpn",
-           "--epochs", str(epochs), "--save-dir", rpn_dir] + common
-    log("siamrpn: " + " ".join(cmd))
-    subprocess.run(cmd, check=True)
-    return join(rpn_dir, f"checkpoint_e{epochs}.msgpack")
+    return _run_train_cli(work_dir, "config_rpn.json", "siamrpn", epochs,
+                          "snapshot_rpn", batch, platform, num_devices,
+                          width, seed, log, label="siamrpn")
 
 
 def _iou(a, b) -> float:

@@ -110,10 +110,17 @@ def probe_donation() -> str:
         return f"donation rejected: {type(e).__name__}: {str(e)[:120]}"
 
 
+# Every knob is PINNED explicitly: Tracker's 'auto'/None defaults resolve to
+# the deployment winners (mm, packed-multi) for bf16 models, so an empty dict
+# would silently measure mm against itself and a regression in the deployment
+# lowering would show a ~0 delta vs "baseline".
 _KNOBS = {
-    "baseline": {},
-    "mm": dict(sample_impl="mm", multi_sample_impl="mm"),
-    "packed": dict(crop_packed=True, multi_crop_packed=True),
+    "baseline": dict(sample_impl="gather", crop_packed=False,
+                     multi_sample_impl="gather", multi_crop_packed=False),
+    "mm": dict(sample_impl="mm", crop_packed=False,
+               multi_sample_impl="mm", multi_crop_packed=False),
+    "packed": dict(sample_impl="gather", crop_packed=True,
+                   multi_sample_impl="gather", multi_crop_packed=True),
     "mmpacked": dict(sample_impl="mm", crop_packed=True,
                      multi_sample_impl="mm", multi_crop_packed=True),
 }
