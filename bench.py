@@ -34,6 +34,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+_T0 = time.monotonic()
+
+
+def _phase(msg: str):
+    """Stderr breadcrumb with elapsed process time — wall-clock attribution
+    for the row itself (which phase eats a summary child's budget: tunnel
+    probe / compile / measure / FLOP walk). Never on stdout (the driver
+    parses stdout for the one JSON line)."""
+    import sys
+    print(f"bench: {msg} [{time.monotonic() - _T0:.0f}s]", file=sys.stderr,
+          flush=True)
+
+
 BASELINE_FPS = 56.0  # reference SiamMask (mask+refine) on RTX 2080
 # reference training: 600k pairs/epoch x 20 epochs in ~10 h on 4x V100
 # (reference README.md:174, experiments/siammask_base/{config.json,run.sh})
@@ -120,6 +133,33 @@ def _flops_per_frame(jitted, args, n_frames):
         return None
 
 
+def _fast_init(model, *inputs):
+    """Host-built random variables with the exact tree/shapes/dtypes
+    ``model.init`` would produce (via ``jax.eval_shape`` — no device work).
+
+    Un-jitted flax init runs EAGERLY: one tunnel-relay dispatch per op,
+    measured at 239 s of a 329 s bench row (vs <1 s building the arrays on
+    host and shipping them once). Bench timing is value-independent for this
+    dense-conv model; BN scales/running-vars get their canonical 1 and
+    biases/means 0 so activation magnitudes stay sane, everything else is
+    small-normal."""
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *inputs)
+    rng = np.random.RandomState(0)
+
+    def fill(path, sd):
+        last = path[-1]
+        name = getattr(last, "key", None) or str(last)
+        if name in ("scale", "var"):
+            arr = np.ones(sd.shape, sd.dtype)
+        elif name in ("bias", "mean"):
+            arr = np.zeros(sd.shape, sd.dtype)
+        else:
+            arr = (rng.randn(*sd.shape) * 0.02).astype(sd.dtype)
+        return jnp.asarray(arr)
+
+    return jax.tree_util.tree_map_with_path(fill, shapes)
+
+
 def bench_train(args):
     """Training-step throughput on one chip.
 
@@ -152,8 +192,7 @@ def bench_train(args):
         search, size = 255, 25
         settings = TrainSettings(task="base", loss_weight=(1.0, 1.2, 36.0),
                                  mask_pad=32)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 127, 127, 3)),
+    variables = _fast_init(model, jnp.zeros((1, 127, 127, 3)),
                            jnp.zeros((1, search, search, 3)))
 
     tx, _ = build_optimizer(variables["params"], OptimizerConfig(),
@@ -175,6 +214,7 @@ def bench_train(args):
         "label_mask_weight": jnp.asarray(rng.rand(b, size, size) < 0.05, jnp.float32),
     }
     lr = jnp.float32(0.005)
+    _phase("train inputs built")
 
     # analytic FLOPs BEFORE the first execution: the step donates its
     # variables/opt_state buffers, so tracing with the post-loop (deleted)
@@ -211,11 +251,13 @@ def bench_train(args):
                                       length=K)
         return v, o, losses
 
+    _phase("train step built")
     variables, opt_state, losses = multi_step(variables, opt_state, batch, lr)
     # compile+warmup barrier MUST be a data fetch: block_until_ready on this
     # relay can resolve while the remote compile/execution is still running,
     # which then lands ~99 s of leftover wait inside the first timed dispatch
     float(np.asarray(losses)[-1])
+    _phase("train step compiled + warm")
 
     iters = max(1, args.iters // 128) * K
     soft = _soft_deadline()
@@ -512,13 +554,17 @@ def run_summary():
     row that hangs (cold remote compile, tunnel outage) can be bounded without
     taking the whole attestation down. Budget discipline: rows run until
     BENCH_SUMMARY_BUDGET_S (default 420 s — inside the driver's own timeout)
-    is spent; once a row times out or the budget runs dry, the remaining rows
-    are emitted from the last good cache, marked ``from_cache`` (a killed TPU
-    process can wedge the chip for minutes — CLAUDE.md — so no new device
-    process starts after a kill). Children probe the tunnel with a short
-    window (BENCH_TUNNEL_WINDOW_S=90) and emit their own stale-cache fallback
-    if it is down. The parent never imports jax, so it always prints the final
-    line."""
+    is spent; each child gets a BENCH_SOFT_DEADLINE so its measurement loop
+    wraps up with an honest shorter reading in time. A row that still
+    overruns (cold remote compile) is ABANDONED — never killed (a mid-run
+    SIGKILL wedges the chip/compile service for the next process; measured
+    18-min recompile of a warm program right after one) — it finishes in the
+    background and banks its result to bench_cache.json for next time, while
+    the remaining rows are emitted from the last good cache, marked
+    ``from_cache`` (no second device process while the orphan owns the
+    chip). Children probe the tunnel with a short window
+    (BENCH_TUNNEL_WINDOW_S=90) and emit their own stale-cache fallback if it
+    is down. The parent always prints the final line."""
     import subprocess
     import sys
 
@@ -528,15 +574,18 @@ def run_summary():
             "carry an explicit flag so the child takes a single-mode path")
     budget = float(os.environ.get("BENCH_SUMMARY_BUDGET_S", "420"))
     t0 = time.monotonic()
+    import tempfile
+
     cache = _load_cache()
     results = {}
-    killed = False
+    abandoned = False
     for name, argv in _SUMMARY_ROWS:
         key = _bench_cache_key(_build_parser().parse_args(argv))
         banked = cache.get(key)
         remaining = budget - (time.monotonic() - t0)
-        if killed or remaining < 45:
-            reason = ("previous row killed; chip may be wedged" if killed
+        if abandoned or remaining < 45:
+            reason = ("an earlier row still owns the chip (left running, "
+                      "its result banks to the cache)" if abandoned
                       else "summary budget exhausted")
             results[name] = ({**banked, "from_cache": True,
                               "cache_reason": reason} if banked else
@@ -545,37 +594,70 @@ def run_summary():
         env = dict(os.environ)
         env.setdefault("BENCH_TUNNEL_WINDOW_S", "90")
         env["BENCH_IN_SUMMARY"] = "1"
-        # soft deadline 30 s inside the hard kill: measurement loops wrap up
-        # with an honest shorter reading instead of dying device-active
+        # soft deadline 30 s inside the row budget: measurement loops wrap up
+        # with an honest shorter reading instead of overrunning
         env["BENCH_SOFT_DEADLINE"] = str(time.time()
                                          + max(30.0, remaining - 30.0))
+        # A row that overruns anyway (cold remote compile — the one phase no
+        # in-process check can bound) is ABANDONED, never SIGKILLed: killing
+        # a device-active child wedges the chip/compile service for the NEXT
+        # process (measured: the identical scan program re-compiled 18 min
+        # cold right after a mid-compile kill, vs 70 s warm before it). The
+        # orphan finishes in the background and _emit_result banks its
+        # number into bench_cache.json for the next invocation; no further
+        # row starts (one TPU process at a time). Child stdout/stderr go to
+        # temp FILES, not pipes, so an abandoned child can never block on a
+        # full pipe buffer.
+        out_f = tempfile.NamedTemporaryFile("w+", suffix=f"_{name}.out",
+                                            delete=False)
+        err_f = tempfile.NamedTemporaryFile("w+", suffix=f"_{name}.err",
+                                            delete=False)
         try:
-            proc = subprocess.run(
+            proc = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__)] + argv,
-                timeout=remaining, capture_output=True, text=True, env=env,
+                stdout=out_f, stderr=err_f, text=True, env=env,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            try:
+                rc = proc.wait(timeout=remaining)
+            except subprocess.TimeoutExpired:
+                abandoned = True
+                results[name] = ({**banked, "from_cache": True,
+                                  "cache_reason":
+                                  f"row exceeded its {remaining:.0f}s budget;"
+                                  " left running (banks to cache), NOT killed"
+                                  " (a mid-run kill wedges the chip)"}
+                                 if banked else
+                                 {"error": f"exceeded {remaining:.0f}s, "
+                                           "no cached value"})
+                continue
+            out_f.seek(0)
+            err_f.seek(0)
+            stdout, stderr = out_f.read(), err_f.read()
             payload = None
-            for line in reversed(proc.stdout.strip().splitlines()):
+            for line in reversed(stdout.strip().splitlines()):
                 try:
                     payload = json.loads(line)
                     break
                 except ValueError:
                     continue
-            if proc.returncode != 0 or payload is None:
-                raise RuntimeError(
-                    f"rc={proc.returncode}: {proc.stderr.strip()[-300:]}")
+            for ln in stderr.splitlines():
+                if ln.startswith("bench: "):  # child phase breadcrumbs
+                    print(f"  [{name}] {ln[7:]}", file=sys.stderr, flush=True)
+            if rc != 0 or payload is None:
+                raise RuntimeError(f"rc={rc}: {stderr.strip()[-300:]}")
             results[name] = payload
-        except subprocess.TimeoutExpired:
-            killed = True
-            results[name] = ({**banked, "from_cache": True, "cache_reason":
-                              f"row timed out after {remaining:.0f}s"}
-                             if banked else
-                             {"error": f"timed out after {remaining:.0f}s, "
-                                       "no cached value"})
         except (RuntimeError, OSError) as e:
             results[name] = ({**banked, "from_cache": True,
                               "cache_reason": str(e)[:300]} if banked else
                              {"error": str(e)[:300]})
+        finally:
+            for f in (out_f, err_f):
+                try:
+                    f.close()
+                    if not abandoned:
+                        os.unlink(f.name)
+                except OSError:
+                    pass
         print(f"bench summary: {name} done "
               f"[{time.monotonic() - t0:.0f}s/{budget:.0f}s]",
               file=sys.stderr, flush=True)
@@ -609,6 +691,7 @@ def main():
         if os.environ.get("BENCH_TUNNEL_WINDOW_S"):
             window = None  # explicit env wins either way
         _check_backend_reachable(window_s=window)
+        _phase("tunnel probe ok")
     except RuntimeError as down:
         # tunnel stayed down for the whole retry window: emit the last good
         # result for this mode, marked stale, rather than recording nothing
@@ -632,7 +715,8 @@ def main():
     rng = np.random.RandomState(0)
     z = jnp.zeros((1, 127, 127, 3), jnp.float32)
     x = jnp.zeros((1, 255, 255, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), z, x)
+    variables = _fast_init(model, z, x)
+    _phase("model params initialized")
 
     tracker = Tracker(model, p, mask=True, refine=True)
 
@@ -664,8 +748,10 @@ def main():
             run = tracker.track_video
             scan_fn = type(tracker)._scan_jit
         frames = jnp.broadcast_to(frame, (t_frames,) + frame.shape)
+        _phase("tracker state initialized")
         _, out = run(variables, state, frames)  # compile
         float(np.asarray(out.score).ravel()[-1])  # data-fetch barrier
+        _phase("scan program compiled + warm")
         reps = max(1, args.iters // t_frames)
         soft = _soft_deadline()
         if np.isfinite(soft):
@@ -698,6 +784,7 @@ def main():
         dt = time.perf_counter() - t0
         if args.profile_dir:
             jax.profiler.stop_trace()
+        _phase(f"measurement done ({reps} windows)")
         n = reps * t_frames * n_st
         fps = n / dt
         extras["device_step_us"] = round(dt / n * 1e6, 1)
@@ -706,6 +793,7 @@ def main():
         fpf = _flops_per_frame(scan_fn,
                                (tracker, variables, state, frames),
                                t_frames * n_st)
+        _phase("FLOP walk done")
         if fpf and peak:
             extras["model_gflops_per_frame"] = round(fpf / 1e9, 3)
             extras["mfu_pct"] = round(100.0 * fpf * fps / peak, 3)
